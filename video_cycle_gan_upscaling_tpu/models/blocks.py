@@ -1,0 +1,258 @@
+"""Building blocks for the generator/discriminator zoo (Flax linen).
+
+Functional re-design of the reference block library
+(/root/reference/upscaling/upscaler/model.py:15-98, 372-436, 505-566):
+same dataflow graphs, but NHWC + InstanceNorm (default) instead of
+BatchNorm — InstanceNorm has no cross-batch state, which keeps the fused
+jitted GAN step pure and avoids the real/fake-batch statistics hazard the
+reference has (SURVEY.md §7 "Hard parts"). ``norm='none'`` is also
+supported; all convs accumulate in f32 on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from video_cycle_gan_upscaling_tpu.ops import nn as vops
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU (Keras PReLU shared_axes=[1,2], model.py:21)."""
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        return vops.prelu(x, alpha)
+
+
+class Norm(nn.Module):
+    """Switchable normalization epilogue.
+
+    kind='instance': per-(sample,channel) spatial norm with affine params.
+    kind='none': identity (reference's batch_norm=False paths).
+    """
+
+    kind: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        if self.kind == "none":
+            return x
+        if self.kind != "instance":
+            raise ValueError(f"unsupported norm kind: {self.kind}")
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return vops.instance_norm(x, gamma, beta)
+
+
+def conv(features: int, kernel: int | Tuple[int, int], stride: int = 1,
+         padding: str = "SAME", dtype=None, name=None) -> nn.Conv:
+    k = (kernel, kernel) if isinstance(kernel, int) else tuple(kernel)
+    return nn.Conv(features, k, strides=(stride, stride), padding=padding,
+                   dtype=dtype, param_dtype=jnp.float32, name=name)
+
+
+def conv_t(features: int, kernel: int, stride: int, dtype=None, name=None) -> nn.ConvTranspose:
+    return nn.ConvTranspose(features, (kernel, kernel), strides=(stride, stride),
+                            padding="SAME", dtype=dtype, param_dtype=jnp.float32,
+                            name=name)
+
+
+class ResidualBlock(nn.Module):
+    """conv->norm->PReLU->conv->norm + skip (model.py:15-27)."""
+
+    kernel_size: int = 5
+    filters: int = 64
+    norm: str = "instance"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        skip = x
+        y = conv(self.filters, self.kernel_size, dtype=self.dtype, name="conv_pre")(x)
+        y = Norm(self.norm, name="norm_pre")(y)
+        y = PReLU(name="prelu")(y)
+        y = conv(self.filters, self.kernel_size, dtype=self.dtype, name="conv_post")(y)
+        y = Norm(self.norm, name="norm_post")(y)
+        return skip + y
+
+
+class AttentionResidualBlock(nn.Module):
+    """Residual block gated by a sigmoid attention mask computed from the
+    *network input* (model.py:30-48)."""
+
+    kernel_size: int = 5
+    filters: int = 64
+    norm: str = "instance"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, net_input):
+        skip = x
+        att = conv(self.filters, self.kernel_size, dtype=self.dtype, name="attention")(net_input)
+        att = jax.nn.sigmoid(att)
+        y = att * x
+        y = conv(self.filters, self.kernel_size, dtype=self.dtype, name="conv_pre")(y)
+        y = Norm(self.norm, name="norm_pre")(y)
+        y = PReLU(name="prelu")(y)
+        y = conv(self.filters, self.kernel_size, dtype=self.dtype, name="conv_post")(y)
+        y = Norm(self.norm, name="norm_post")(y)
+        return skip + y
+
+
+class UpsamplingBlock(nn.Module):
+    """ConvTranspose(stride 2) + LeakyReLU(0.2) (model.py:70-75)."""
+
+    kernel_size: int = 5
+    filters: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = conv_t(self.filters, self.kernel_size, 2, dtype=self.dtype, name="conv_transp")(x)
+        return vops.leaky_relu(y, 0.2)
+
+
+class AttentionUpsamplingBlock(nn.Module):
+    """Attention-gated upsampler with atanh-linearized input injection
+    (model.py:78-98). ``scale`` is the cumulative upscale after this block;
+    the incoming feature map sits at scale//2 of the network input.
+    """
+
+    scale: int
+    kernel_size: int = 5
+    filters: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, net_input):
+        half = self.scale // 2
+        up_nearest = vops.resize_nearest(net_input, half) if half > 1 else net_input
+        up_bilinear = vops.resize_bilinear(net_input, half) if half > 1 else net_input
+        up = jnp.concatenate([up_nearest, up_bilinear], axis=-1)
+
+        att = conv(x.shape[-1], self.kernel_size, dtype=self.dtype, name="attention")(up)
+        att = jax.nn.sigmoid(att)
+        y = att * x
+        y = conv_t(self.filters, self.kernel_size, 2, dtype=self.dtype, name="conv_transp")(y)
+        y = vops.leaky_relu(y, 0.2)
+
+        inj = vops.safe_atanh(net_input.astype(jnp.float32)).astype(self.dtype)
+        inj = conv_t(self.filters, self.scale + 1, self.scale, dtype=self.dtype,
+                     name="to_add_input_conv_transp")(inj)
+        return y + inj
+
+
+class InceptionMiniBlock(nn.Module):
+    """Pre-activation unit: [norm]->PReLU->conv(k) (model.py:372-381)."""
+
+    filters: int
+    kernel: Tuple[int, int]
+    norm: str = "instance"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = Norm(self.norm, name="norm")(x)
+        y = PReLU(name="prelu")(y)
+        return conv(self.filters, self.kernel, dtype=self.dtype, name="conv")(y)
+
+
+class InceptionResblock3Path(nn.Module):
+    """1x1 | 1x1+kxk | 1x1+kxk+kxk paths -> concat -> 1x1 -> +skip
+    (model.py:386-411, incl. the 0.5/0.75/1.0 filter fractions)."""
+
+    filters: int = 64
+    kernel_size: int = 3
+    norm: str = "instance"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.filters
+        k = self.kernel_size
+        a = InceptionMiniBlock(int(f * 0.5), (1, 1), self.norm, self.dtype, name="a1")(x)
+        b = InceptionMiniBlock(int(f * 0.5), (1, 1), self.norm, self.dtype, name="b1")(x)
+        b = InceptionMiniBlock(int(f * 0.5), (k, k), self.norm, self.dtype, name="b2")(b)
+        c = InceptionMiniBlock(int(f * 0.5), (1, 1), self.norm, self.dtype, name="c1")(x)
+        c = InceptionMiniBlock(int(f * 0.75), (k, k), self.norm, self.dtype, name="c2")(c)
+        c = InceptionMiniBlock(f, (k, k), self.norm, self.dtype, name="c3")(c)
+        y = jnp.concatenate([a, b, c], axis=-1)
+        y = conv(f, 1, dtype=self.dtype, name="project")(y)
+        return x + y
+
+
+class InceptionResblock2Path(nn.Module):
+    """1x1 | 1x1->1xk->kx1 factorized paths -> concat -> 1x1 -> +skip
+    (model.py:416-436, filter fractions 0.5/0.3/0.4/0.5)."""
+
+    filters: int = 64
+    kernel_size: int = 7
+    norm: str = "instance"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.filters
+        k = self.kernel_size
+        a = InceptionMiniBlock(int(f * 0.5), (1, 1), self.norm, self.dtype, name="a1")(x)
+        b = InceptionMiniBlock(int(f * 0.3), (1, 1), self.norm, self.dtype, name="b1")(x)
+        b = InceptionMiniBlock(int(f * 0.4), (1, k), self.norm, self.dtype, name="b2")(b)
+        b = InceptionMiniBlock(int(f * 0.5), (k, 1), self.norm, self.dtype, name="b3")(b)
+        y = jnp.concatenate([a, b], axis=-1)
+        y = conv(f, 1, dtype=self.dtype, name="project")(y)
+        return x + y
+
+
+class UnetConvBlock(nn.Module):
+    """conv(stride s)->norm->PReLU->Dropout (model.py:505-521). Covers both
+    the same-size (s=1) and downsampling (s=2) U-Net-ish blocks."""
+
+    kernel_size: int
+    filters: int
+    stride: int = 1
+    dropout_rate: float = 0.1
+    norm: str = "instance"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = conv(self.filters, self.kernel_size, self.stride, dtype=self.dtype, name="conv")(x)
+        y = Norm(self.norm, name="norm")(y)
+        y = PReLU(name="prelu")(y)
+        return nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
+
+
+class UnetUpBlock(nn.Module):
+    """ConvTranspose(stride 2)->norm->PReLU->Dropout (model.py:523-530)."""
+
+    kernel_size: int
+    filters: int
+    dropout_rate: float = 0.1
+    norm: str = "instance"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = conv_t(self.filters, self.kernel_size, 2, dtype=self.dtype, name="conv_t")(x)
+        y = Norm(self.norm, name="norm")(y)
+        y = PReLU(name="prelu")(y)
+        return nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
+
+
+def crop_merge_concat(down: jax.Array, up: jax.Array) -> jax.Array:
+    """Center-crop ``up`` to ``down``'s spatial shape, then concat on C
+    (concatenate_layers, model.py:549-556). Shapes are static under jit, so
+    this is plain Python arithmetic — no throwaway-model shape probing."""
+    up = vops.center_crop_to(up, down.shape[1:3])
+    return jnp.concatenate([down, up], axis=-1)
+
+
+def crop_merge_add(down: jax.Array, up: jax.Array) -> jax.Array:
+    """Center-crop ``up`` to ``down`` and add (sum_layers, model.py:559-566)."""
+    return down + vops.center_crop_to(up, down.shape[1:3])
