@@ -1,0 +1,103 @@
+"""VGG19 feature extractor for perceptual losses.
+
+The reference's VGG_LOSS family feeds [-1,1] images straight into a frozen
+ImageNet VGG19 and compares 'block5_conv4' features
+(/root/reference/upscaling/upscaler/model.py:101-157 — note it applies NO
+Keras preprocessing; we mirror that choice for parity).
+
+Weights: ImageNet weights can be loaded from an .npz file (path via the
+``VCGU_VGG19_WEIGHTS`` env var or ``load_imagenet_params``); with zero
+network egress in this environment the default is a **seeded deterministic
+random init**. Random-feature perceptual losses are a known-valid training
+signal (they act as a fixed random projection of local image statistics);
+the distinction is documented and surfaced via ``source`` so runs record
+which weights they used.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# VGG19 conv plan up to block5_conv4: (name, out_channels); 'pool' = 2x2 max.
+VGG19_PLAN: Tuple = (
+    ("block1_conv1", 64), ("block1_conv2", 64), "pool",
+    ("block2_conv1", 128), ("block2_conv2", 128), "pool",
+    ("block3_conv1", 256), ("block3_conv2", 256), ("block3_conv3", 256), ("block3_conv4", 256), "pool",
+    ("block4_conv1", 512), ("block4_conv2", 512), ("block4_conv3", 512), ("block4_conv4", 512), "pool",
+    ("block5_conv1", 512), ("block5_conv2", 512), ("block5_conv3", 512), ("block5_conv4", 512),
+)
+
+
+class VGG19Features(nn.Module):
+    """VGG19 trunk, NHWC, truncated at ``output_layer`` (default
+    block5_conv4, model.py:113 parity)."""
+
+    output_layer: str = "block5_conv4"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = x.astype(self.dtype)
+        for item in VGG19_PLAN:
+            if item == "pool":
+                y = nn.max_pool(y, (2, 2), strides=(2, 2))
+                continue
+            name, ch = item
+            y = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+                        param_dtype=jnp.float32, name=name)(y)
+            y = jax.nn.relu(y)
+            if name == self.output_layer:
+                return y
+        raise ValueError(f"layer {self.output_layer} not in VGG19 plan")
+
+
+class VGGExtractor:
+    """Frozen feature extractor: module + params + jitted apply."""
+
+    def __init__(self, params, output_layer: str = "block5_conv4",
+                 dtype=jnp.float32, source: str = "random"):
+        self.module = VGG19Features(output_layer=output_layer, dtype=dtype)
+        self.params = params
+        self.source = source  # 'imagenet' | 'random'
+
+    def __call__(self, x):
+        return self.module.apply({"params": self.params}, x)
+
+
+def init_random_params(seed: int = 0, output_layer: str = "block5_conv4"):
+    """Deterministic random VGG19 params (He init via flax defaults)."""
+    module = VGG19Features(output_layer=output_layer)
+    dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    return module.init(jax.random.PRNGKey(seed), dummy)["params"]
+
+
+def load_imagenet_params(path: str):
+    """Load VGG19 params from an .npz with keys '<layer>/kernel' (HWIO)
+    and '<layer>/bias'. Raises on missing layers."""
+    raw = np.load(path)
+    params = {}
+    for item in VGG19_PLAN:
+        if item == "pool":
+            continue
+        name, ch = item
+        k, b = raw[f"{name}/kernel"], raw[f"{name}/bias"]
+        if k.shape[-1] != ch:  # pragma: no cover - corrupt file guard
+            raise ValueError(f"{name}: expected {ch} filters, got {k.shape}")
+        params[name] = {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}
+    return params
+
+
+def get_extractor(weights_path: Optional[str] = None, seed: int = 0,
+                  output_layer: str = "block5_conv4", dtype=jnp.float32) -> VGGExtractor:
+    """Build the frozen extractor; ImageNet weights if available, else the
+    documented seeded-random fallback."""
+    path = weights_path or os.environ.get("VCGU_VGG19_WEIGHTS")
+    if path and os.path.exists(path):
+        return VGGExtractor(load_imagenet_params(path), output_layer, dtype, "imagenet")
+    return VGGExtractor(init_random_params(seed, output_layer), output_layer, dtype, "random")

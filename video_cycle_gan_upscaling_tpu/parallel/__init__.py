@@ -1,0 +1,6 @@
+from video_cycle_gan_upscaling_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    replicate,
+    shard_batch,
+    data_parallel_step,
+)

@@ -1,0 +1,73 @@
+"""Clip inference pipeline: frame source -> tiled upscale -> sink.
+
+BASELINE config 4 end-to-end: decode (host) overlaps with TPU compute via
+a prefetch queue; one fixed-shape compiled graph per frame geometry.
+Returns throughput so bench.py and the CLI share one code path.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import numpy as np
+
+from video_cycle_gan_upscaling_tpu.data.pipeline import prefetch_to_device
+from video_cycle_gan_upscaling_tpu.video.tiles import make_tiled_upscaler
+
+
+def upscale_clip(apply_fn: Callable, params, source, sink=None,
+                 frame_hw: Tuple[int, int] = (540, 960),
+                 tile_hw: Tuple[int, int] = (135, 240),
+                 overlap: int = 16, upscale_factor: int = 4,
+                 max_frames: Optional[int] = None,
+                 warmup: int = 1) -> dict:
+    """Upscale every frame from ``source``; write to ``sink`` if given.
+
+    Returns {'frames', 'seconds', 'fps', 'first_frame'} — fps excludes the
+    compile/warmup frame(s).
+    """
+    upscale = make_tiled_upscaler(apply_fn, frame_hw, tile_hw, overlap,
+                                  upscale_factor)
+
+    def frames():
+        for i, frame in enumerate(source):
+            if max_frames is not None and i >= max_frames:
+                return
+            yield np.ascontiguousarray(frame, np.float32)
+
+    n = 0
+    first_out = None
+    t0 = None
+    pending = None
+    for frame in prefetch_to_device(frames(), size=4):
+        out = upscale(params, frame)
+        if n < warmup:
+            out.block_until_ready()
+            t0 = time.perf_counter()
+        if pending is not None:
+            host = np.asarray(pending)
+            if first_out is None:
+                first_out = host
+            if sink is not None:
+                sink.write(host)
+        pending = out
+        n += 1
+    if pending is not None:
+        host = np.asarray(pending)
+        if first_out is None:
+            first_out = host
+        if sink is not None:
+            sink.write(host)
+    if sink is not None and hasattr(sink, "close"):
+        sink.close()
+
+    timed = max(n - warmup, 0)
+    seconds = (time.perf_counter() - t0) if (t0 is not None and timed) else 0.0
+    return {
+        "frames": n,
+        "seconds": seconds,
+        "fps": (timed / seconds) if seconds > 0 else float("nan"),
+        "first_frame": first_out,
+    }

@@ -1,0 +1,133 @@
+"""Overlapping-tile inference with raised-cosine blend reassembly.
+
+The reference upscales whole frames by re-instantiating the FCN at frame
+resolution (upscaler_mini_testing.ipynb cells 6-7 — one Keras graph per
+frame size). TPU-native replacement (SURVEY.md §5.7, BASELINE config 4):
+decompose any frame into a STATIC grid of fixed-shape tiles with halo
+overlap, run one compiled generator graph over the tile batch, and blend
+tiles back with raised-cosine windows. One XLA program serves every frame
+size; tile shape stays MXU/VMEM-friendly.
+
+Tile positions and blend windows are Python-level constants per
+(frame, tile, overlap) config — zero retracing across frames of one size.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _axis_positions(size: int, tile: int, overlap: int) -> List[int]:
+    """Start offsets covering [0, size) with ``tile``-sized windows and at
+    least ``overlap`` shared pixels; final window aligned to the edge."""
+    if tile >= size:
+        return [0]
+    stride = tile - overlap
+    pos = list(range(0, size - tile, stride))
+    pos.append(size - tile)
+    return pos
+
+
+def plan_tiles(frame_hw: Tuple[int, int], tile_hw: Tuple[int, int],
+               overlap: int) -> List[Tuple[int, int]]:
+    """Static (y, x) tile-start grid for a frame."""
+    ys = _axis_positions(frame_hw[0], tile_hw[0], overlap)
+    xs = _axis_positions(frame_hw[1], tile_hw[1], overlap)
+    return [(y, x) for y in ys for x in xs]
+
+
+def _axis_window(size: int, ramp: int, at_low_edge: bool, at_high_edge: bool) -> np.ndarray:
+    """1-D raised-cosine ramp of width ``ramp`` at interior edges; flat 1.0
+    at frame borders (so border pixels keep full weight)."""
+    w = np.ones(size, dtype=np.float32)
+    if ramp > 0:
+        r = 0.5 - 0.5 * np.cos(np.pi * (np.arange(ramp) + 0.5) / ramp)
+        if not at_low_edge:
+            w[:ramp] = r
+        if not at_high_edge:
+            w[size - ramp:] = r[::-1]
+    return w
+
+
+def tile_windows(frame_hw: Tuple[int, int], tile_hw: Tuple[int, int],
+                 overlap: int) -> Tuple[List[Tuple[int, int]], np.ndarray]:
+    """(positions, windows[T, th, tw, 1]): per-tile blend windows. Ramps
+    span the overlap; windows of overlapping raised-cosine ramps sum to ~1
+    in interior overlaps and are renormalized exactly at merge time."""
+    positions = plan_tiles(frame_hw, tile_hw, overlap)
+    th, tw = tile_hw
+    wins = []
+    for (y, x) in positions:
+        wy = _axis_window(th, overlap, y == 0, y + th == frame_hw[0])
+        wx = _axis_window(tw, overlap, x == 0, x + tw == frame_hw[1])
+        wins.append(np.outer(wy, wx)[..., None])
+    return positions, np.stack(wins).astype(np.float32)
+
+
+def split_tiles(frame: jax.Array, positions: Sequence[Tuple[int, int]],
+                tile_hw: Tuple[int, int]) -> jax.Array:
+    """[H,W,C] frame -> [T,th,tw,C] tile batch (static slices)."""
+    th, tw = tile_hw
+    return jnp.stack([frame[y:y + th, x:x + tw, :] for (y, x) in positions])
+
+
+def merge_tiles(tiles: jax.Array, positions: Sequence[Tuple[int, int]],
+                windows: jax.Array, frame_hw: Tuple[int, int]) -> jax.Array:
+    """Weighted scatter-add of [T,th,tw,C] tiles into an [H,W,C] frame,
+    then exact renormalization by the accumulated window weight."""
+    th, tw = tiles.shape[1], tiles.shape[2]
+    acc = jnp.zeros((*frame_hw, tiles.shape[-1]), jnp.float32)
+    wacc = jnp.zeros((*frame_hw, 1), jnp.float32)
+    for i, (y, x) in enumerate(positions):
+        w = windows[i]
+        acc = acc.at[y:y + th, x:x + tw, :].add(tiles[i].astype(jnp.float32) * w)
+        wacc = wacc.at[y:y + th, x:x + tw, :].add(w)
+    return acc / wacc
+
+
+def make_tiled_upscaler(apply_fn: Callable, frame_hw: Tuple[int, int],
+                        tile_hw: Tuple[int, int] = (135, 240),
+                        overlap: int = 16, upscale_factor: int = 4,
+                        tile_batch: int = 0) -> Callable:
+    """Build jitted ``upscale(params, frame_lr[H,W,C]) -> frame_hr``.
+
+    ``apply_fn(params, lr_batch) -> hr_batch`` is a generator forward
+    (e.g. ``lambda p, x: model.apply({'params': p}, x)``). ``overlap``
+    must cover the generator's effective receptive-field halo — the
+    ≤0.1 dB PSNR budget is validated empirically in tests/bench.
+    ``tile_batch``: process tiles in fixed chunks (0 = all at once).
+    """
+    positions = plan_tiles(frame_hw, tile_hw, overlap)
+    f = upscale_factor
+    hr_positions = [(y * f, x * f) for (y, x) in positions]
+    hr_tile = (tile_hw[0] * f, tile_hw[1] * f)
+    hr_frame = (frame_hw[0] * f, frame_hw[1] * f)
+    # HR windows at the scaled positions (edge flags are scale-invariant)
+    hr_windows = []
+    for (y, x) in hr_positions:
+        wy = _axis_window(hr_tile[0], overlap * f, y == 0, y + hr_tile[0] == hr_frame[0])
+        wx = _axis_window(hr_tile[1], overlap * f, x == 0, x + hr_tile[1] == hr_frame[1])
+        hr_windows.append(np.outer(wy, wx)[..., None])
+    hr_windows = jnp.asarray(np.stack(hr_windows).astype(np.float32))
+
+    @jax.jit
+    def upscale(params, frame_lr: jax.Array) -> jax.Array:
+        tiles = split_tiles(frame_lr, positions, tile_hw)
+        if tile_batch and tile_batch < tiles.shape[0]:
+            n = tiles.shape[0]
+            pad = (-n) % tile_batch
+            tiles_p = jnp.pad(tiles, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            chunks = tiles_p.reshape(-1, tile_batch, *tiles.shape[1:])
+            out = jax.lax.map(lambda t: apply_fn(params, t), chunks)
+            hr_tiles = out.reshape(-1, *out.shape[2:])[:n]
+        else:
+            hr_tiles = apply_fn(params, tiles)
+        return merge_tiles(hr_tiles, hr_positions, hr_windows, hr_frame)
+
+    return upscale
