@@ -1,10 +1,16 @@
 """Test harness: force an 8-device CPU platform so data-parallel / mesh
 logic is exercised without TPU hardware (the standard JAX spoofing recipe,
-SURVEY.md §4). Must run before jax initializes its backends."""
+SURVEY.md §4).
+
+NOTE: this environment pre-imports jax via sitecustomize with
+JAX_PLATFORMS=axon (the TPU tunnel); merely setting env vars is too late.
+We force the config override BEFORE any backend initializes — otherwise
+every test process pays a ~70-300s TPU-tunnel handshake.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +18,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: CPU test compiles are the dominant cost; cache
 # them across runs.
