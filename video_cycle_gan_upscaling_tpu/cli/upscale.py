@@ -1,0 +1,80 @@
+"""Clip/frame upscaling CLI (BASELINE config 4).
+
+Replaces the reference's notebook inference path (load .h5 ->
+layers.pop(0) re-instantiation -> per-frame predict,
+upscaler_mini_testing.ipynb cells 5-18) with: restore checkpoint ->
+fixed-shape tiled inference -> blended frames -> sink. Reads the run's
+parameters.json to rebuild the generator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from video_cycle_gan_upscaling_tpu.models import make_generator
+from video_cycle_gan_upscaling_tpu.train import create_generator_state
+from video_cycle_gan_upscaling_tpu.train.checkpoint import CheckpointManager
+from video_cycle_gan_upscaling_tpu.utils.config import RunConfig
+from video_cycle_gan_upscaling_tpu.video.infer import upscale_clip
+from video_cycle_gan_upscaling_tpu.video.io import open_sink, open_source
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Tiled clip upscaler")
+    p.add_argument("-r", "--run-dir", required=True,
+                   help="losses/<subdir>/<prefix> dir containing parameters.json")
+    p.add_argument("-c", "--checkpoint-dir", default=None,
+                   help="trained_model/<subdir>/<prefix> dir (default: derived)")
+    p.add_argument("--best", action="store_true", help="Use the 'best' slot")
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("-i", "--input", required=True,
+                   help="Frame source: image dir, .y4m, or container (ffmpeg)")
+    p.add_argument("-o", "--output", default=None,
+                   help="Sink: dir, .y4m, or container (ffmpeg)")
+    p.add_argument("--frame-height", type=int, default=540)
+    p.add_argument("--frame-width", type=int, default=960)
+    p.add_argument("--tile-height", type=int, default=135)
+    p.add_argument("--tile-width", type=int, default=240)
+    p.add_argument("--overlap", type=int, default=16)
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--ext", default=".jpg")
+    args = p.parse_args(argv)
+
+    cfg = RunConfig.load(os.path.join(args.run_dir, "parameters.json"))
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+    model = make_generator(cfg.model, cfg.train.downscale_factor, dtype=dtype)
+
+    ckpt_dir = args.checkpoint_dir or cfg.run_dirs()["models"]
+    ckpt = CheckpointManager(ckpt_dir)
+    lr0 = np.zeros((1, args.tile_height, args.tile_width, 3), np.float32)
+    state = create_generator_state(model, jax.random.PRNGKey(0), lr0)
+    state = ckpt.restore_best(state) if args.best else ckpt.restore(state, args.step)
+    params = state.params
+
+    frame_hw = (args.frame_height, args.frame_width)
+    source = open_source(args.input, size_hw=frame_hw, ext=args.ext)
+    factor = cfg.train.downscale_factor
+    sink = None
+    if args.output:
+        sink = open_sink(args.output,
+                         (frame_hw[0] * factor, frame_hw[1] * factor),
+                         ext=args.ext)
+
+    result = upscale_clip(
+        lambda prm, x: model.apply({"params": prm}, x), params, source, sink,
+        frame_hw=frame_hw, tile_hw=(args.tile_height, args.tile_width),
+        overlap=args.overlap, upscale_factor=factor,
+        max_frames=args.max_frames)
+    print(json.dumps({"frames": result["frames"], "fps": result["fps"]}))
+    return result
+
+
+if __name__ == "__main__":
+    main()

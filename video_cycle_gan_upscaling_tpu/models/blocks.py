@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from video_cycle_gan_upscaling_tpu.ops import nn as vops
+from video_cycle_gan_upscaling_tpu.ops import subpixel as sp
 
 
 class PReLU(nn.Module):
@@ -32,7 +33,9 @@ class PReLU(nn.Module):
 class Norm(nn.Module):
     """Switchable normalization epilogue.
 
-    kind='instance': per-(sample,channel) spatial norm with affine params.
+    kind='instance': per-(sample,channel) spatial norm with affine params,
+    computed by the fused Pallas kernel on TPU (ops/pallas/norms.py —
+    XLA's spatial-reduction lowering costs ~4x a 5x5 conv per layer).
     kind='none': identity (reference's batch_norm=False paths).
     """
 
@@ -44,10 +47,13 @@ class Norm(nn.Module):
             return x
         if self.kind != "instance":
             raise ValueError(f"unsupported norm kind: {self.kind}")
+        from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
+
         c = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return vops.instance_norm(x, gamma, beta)
+        return pnorms.instance_norm_act(x, gamma, beta,
+                                        jnp.zeros((1,), jnp.float32), "none")
 
 
 def conv(features: int, kernel: int | Tuple[int, int], stride: int = 1,
@@ -57,10 +63,80 @@ def conv(features: int, kernel: int | Tuple[int, int], stride: int = 1,
                    dtype=dtype, param_dtype=jnp.float32, name=name)
 
 
-def conv_t(features: int, kernel: int, stride: int, dtype=None, name=None) -> nn.ConvTranspose:
-    return nn.ConvTranspose(features, (kernel, kernel), strides=(stride, stride),
-                            padding="SAME", dtype=dtype, param_dtype=jnp.float32,
-                            name=name)
+class ConvTransposeSubpixel(nn.Module):
+    """Drop-in for nn.ConvTranspose(SAME): identical param tree
+    (kernel [k,k,in,out], bias) and outputs, computed as a dense stride-1
+    phase conv + depth_to_space (ops/subpixel.py) — XLA's input-dilation
+    lowering of transpose convs multiplies mostly-zeros on the MXU."""
+
+    features: int
+    kernel_size: int
+    stride: int = 2
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, x.shape[-1], self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return sp.conv_transpose_d2s(x, w, b, stride=self.stride)
+
+
+def conv_t(features: int, kernel: int, stride: int, dtype=None, name=None):
+    return ConvTransposeSubpixel(features, kernel, stride, dtype=dtype, name=name)
+
+
+class _TransposeConvParams(nn.Module):
+    """Bare kernel/bias params with nn.ConvTranspose-compatible tree."""
+
+    kernel_size: int
+    c_in: int
+    c_out: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, self.c_in, self.c_out), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.c_out,), jnp.float32)
+        return w, b
+
+
+class _ConvParams(nn.Module):
+    """Bare kernel/bias params with nn.Conv-compatible tree."""
+
+    kernel_size: int
+    c_in: int
+    c_out: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, self.c_in, self.c_out), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.c_out,), jnp.float32)
+        return w, b
+
+
+class UpsamplingBlockPhase(nn.Module):
+    """UpsamplingBlock evaluated in phase space: the feature map stays on
+    the LR grid with phase-packed channels throughout the upsampling tail.
+    Param tree matches UpsamplingBlock exactly (conv_transp/{kernel,bias}),
+    so phase and pixel paths share checkpoints."""
+
+    kernel_size: int = 5
+    filters: int = 256
+    r: int = 1  # incoming phase scale
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, p, c_in: int):
+        w, b = _TransposeConvParams(self.kernel_size, c_in, self.filters,
+                                    name="conv_transp")()
+        y = sp.transpose_conv_phase(p.astype(self.dtype), w, b, 2, self.r)
+        return vops.leaky_relu(y, 0.2)
 
 
 class ResidualBlock(nn.Module):

@@ -55,7 +55,15 @@ def _upscale_times(factor: int) -> int:
 
 
 class UpscalerOrig(nn.Module):
-    """SRGAN-style ResNet upscaler (model.py:267-295)."""
+    """SRGAN-style ResNet upscaler (model.py:267-295).
+
+    ``phase_tail=True`` (default) evaluates the whole upsampling tail —
+    transpose convs, LeakyReLUs and the final 9x9 conv — on the LR grid in
+    phase-packed channel space with one depth_to_space at the end
+    (ops/subpixel.py). Bit-compatible params and outputs with the pixel
+    path; on TPU it avoids XLA's input-dilation transpose-conv lowering
+    and lifts the 3-output-lane final conv to 3*S^2 MXU lanes.
+    """
 
     kernel_size: int = 5
     filters: int = 64
@@ -63,9 +71,16 @@ class UpscalerOrig(nn.Module):
     res_block_num: int = 16
     norm: str = "instance"
     dtype: jnp.dtype = jnp.float32
+    phase_tail: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from video_cycle_gan_upscaling_tpu.models.blocks import (
+            UpsamplingBlockPhase,
+            _ConvParams,
+        )
+        from video_cycle_gan_upscaling_tpu.ops import subpixel as sp
+
         x = x.astype(self.dtype)
         y = conv(self.filters, 9, dtype=self.dtype, name="initial_conv")(x)
         y = PReLU(name="initial_prelu")(y)
@@ -76,10 +91,32 @@ class UpscalerOrig(nn.Module):
         y = conv(self.filters, self.kernel_size, dtype=self.dtype, name="prefinal_conv")(y)
         y = Norm(self.norm, name="prefinal_norm")(y)
         y = trunk_in + y
-        for i in range(_upscale_times(self.upscale_factor)):
-            y = UpsamplingBlock(self.kernel_size, 256, self.dtype, name=f"upscale_{i}")(y)
-        y = conv(3, 9, dtype=self.dtype, name="final_conv")(y)
-        return jnp.tanh(y.astype(jnp.float32))
+        times = _upscale_times(self.upscale_factor)
+        if not self.phase_tail:
+            for i in range(times):
+                y = UpsamplingBlock(self.kernel_size, 256, self.dtype,
+                                    name=f"upscale_{i}")(y)
+            y = conv(3, 9, dtype=self.dtype, name="final_conv")(y)
+            return jnp.tanh(y.astype(jnp.float32))
+
+        r = 1
+        c_in = self.filters
+        for i in range(times):
+            y = UpsamplingBlockPhase(self.kernel_size, 256, r, self.dtype,
+                                     name=f"upscale_{i}")(y, c_in)
+            r *= 2
+            c_in = 256
+        w9, b9 = _ConvParams(9, c_in, 3, name="final_conv")()
+        # extra spatial blocking for MXU output lanes (3*S^2); pick the
+        # largest of 4/2/1 dividing the LR tile
+        extra = 1
+        for e in (4, 2):
+            if y.shape[1] % e == 0 and y.shape[2] % e == 0:
+                extra = e
+                break
+        yp = sp.conv_same_phase_blocked(y, w9, b9, r, extra)
+        yp = jnp.tanh(yp.astype(jnp.float32))
+        return sp.depth_to_space(yp, r * extra)
 
 
 class UpscalerAttention(nn.Module):
@@ -128,13 +165,13 @@ class UpscalerSkipCon(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        y = conv(64, 9, dtype=self.dtype, name="initial_conv")(x)
+        y = conv(self.filters, 9, dtype=self.dtype, name="initial_conv")(x)
         y = PReLU(name="initial_prelu")(y)
         trunk_in = y
         for i in range(self.res_block_num):
             y = ResidualBlock(self.kernel_size, self.filters, self.norm,
                               self.dtype, name=f"res_block_{i}")(y)
-        y = conv(64, 3, dtype=self.dtype, name="prefinal_conv")(y)
+        y = conv(self.filters, 3, dtype=self.dtype, name="prefinal_conv")(y)
         y = Norm(self.norm, name="prefinal_norm")(y)
         y = trunk_in + y
         for i in range(_upscale_times(self.upscale_factor)):

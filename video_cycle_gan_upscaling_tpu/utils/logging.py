@@ -87,7 +87,7 @@ def save_sample_images(images, path: str, prefix: str, suffix: str = "",
         if not hasattr(img, "save"):
             img = array_to_image(img)
         if batch is None:
-            name = f"{prefix}_im{idx:04d}_orig{suffix}.jpg"
+            name = f"{prefix}_im{idx:04d}{suffix or '_orig'}.jpg"
         else:
             name = f"{prefix}_im{idx:04d}_upscaled_{batch:06d}{suffix}.jpg"
         img.save(os.path.join(path, name), quality=quality)
