@@ -42,7 +42,7 @@ def bench_tiled_inference():
     from video_cycle_gan_upscaling_tpu.video.tiles import make_tiled_upscaler
 
     model = UpscalerOrig(kernel_size=5, filters=64, upscale_factor=FACTOR,
-                         res_block_num=16, dtype=jnp.bfloat16)
+                         res_block_num=16, dtype=jnp.bfloat16, phase_tail=True)
     rng = jax.random.PRNGKey(0)
     tile0 = jnp.zeros((1, *TILE_HW, 3), jnp.float32)
     variables = model.init(rng, tile0)

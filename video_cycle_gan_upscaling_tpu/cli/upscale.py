@@ -49,7 +49,8 @@ def main(argv=None):
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
-    model = make_generator(cfg.model, cfg.train.downscale_factor, dtype=dtype)
+    model = make_generator(cfg.model, cfg.train.downscale_factor, dtype=dtype,
+                           phase_tail=True)
 
     ckpt_dir = args.checkpoint_dir or cfg.run_dirs()["models"]
     ckpt = CheckpointManager(ckpt_dir)

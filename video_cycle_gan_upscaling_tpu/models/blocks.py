@@ -88,6 +88,34 @@ def conv_t(features: int, kernel: int, stride: int, dtype=None, name=None):
     return ConvTransposeSubpixel(features, kernel, stride, dtype=dtype, name=name)
 
 
+class _NormParams(nn.Module):
+    """Affine params with the Norm module's tree (scale/bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        g = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return g, b
+
+
+class _AlphaParams(nn.Module):
+    """PReLU alpha param with the PReLU module's tree (alpha)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("alpha", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+
+
+_LEAKY01 = jnp.full((1,), 0.1, jnp.float32)
+_LEAKY02 = jnp.full((1,), 0.2, jnp.float32)
+_NOALPHA = jnp.zeros((1,), jnp.float32)
+
+
 class _TransposeConvParams(nn.Module):
     """Bare kernel/bias params with nn.ConvTranspose-compatible tree."""
 
@@ -140,7 +168,10 @@ class UpsamplingBlockPhase(nn.Module):
 
 
 class ResidualBlock(nn.Module):
-    """conv->norm->PReLU->conv->norm + skip (model.py:15-27)."""
+    """conv->norm->PReLU->conv->norm + skip (model.py:15-27).
+
+    With instance norm, the PReLU and the skip-add are folded into the
+    fused norm kernels (one HBM pass each instead of two)."""
 
     kernel_size: int = 5
     filters: int = 64
@@ -149,12 +180,20 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
+
         skip = x
         y = conv(self.filters, self.kernel_size, dtype=self.dtype, name="conv_pre")(x)
-        y = Norm(self.norm, name="norm_pre")(y)
-        y = PReLU(name="prelu")(y)
+        if self.norm == "instance":
+            g1, b1 = _NormParams(self.filters, name="norm_pre")()
+            alpha = _AlphaParams(self.filters, name="prelu")()
+            y = pnorms.instance_norm_act(y, g1, b1, alpha, "prelu")
+        else:
+            y = PReLU(name="prelu")(y)
         y = conv(self.filters, self.kernel_size, dtype=self.dtype, name="conv_post")(y)
-        y = Norm(self.norm, name="norm_post")(y)
+        if self.norm == "instance":
+            g2, b2 = _NormParams(self.filters, name="norm_post")()
+            return pnorms.instance_norm_residual(y, g2, b2, skip)
         return skip + y
 
 
@@ -170,14 +209,22 @@ class AttentionResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x, net_input):
         skip = x
+        from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
+
         att = conv(self.filters, self.kernel_size, dtype=self.dtype, name="attention")(net_input)
         att = jax.nn.sigmoid(att)
         y = att * x
         y = conv(self.filters, self.kernel_size, dtype=self.dtype, name="conv_pre")(y)
-        y = Norm(self.norm, name="norm_pre")(y)
-        y = PReLU(name="prelu")(y)
+        if self.norm == "instance":
+            g1, b1 = _NormParams(self.filters, name="norm_pre")()
+            alpha = _AlphaParams(self.filters, name="prelu")()
+            y = pnorms.instance_norm_act(y, g1, b1, alpha, "prelu")
+        else:
+            y = PReLU(name="prelu")(y)
         y = conv(self.filters, self.kernel_size, dtype=self.dtype, name="conv_post")(y)
-        y = Norm(self.norm, name="norm_post")(y)
+        if self.norm == "instance":
+            g2, b2 = _NormParams(self.filters, name="norm_post")()
+            return pnorms.instance_norm_residual(y, g2, b2, skip)
         return skip + y
 
 
@@ -234,8 +281,14 @@ class InceptionMiniBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = Norm(self.norm, name="norm")(x)
-        y = PReLU(name="prelu")(y)
+        from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
+
+        if self.norm == "instance":
+            g, b = _NormParams(x.shape[-1], name="norm")()
+            alpha = _AlphaParams(x.shape[-1], name="prelu")()
+            y = pnorms.instance_norm_act(x, g, b, alpha, "prelu")
+        else:
+            y = PReLU(name="prelu")(x)
         return conv(self.filters, self.kernel, dtype=self.dtype, name="conv")(y)
 
 
@@ -298,9 +351,15 @@ class UnetConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
+
         y = conv(self.filters, self.kernel_size, self.stride, dtype=self.dtype, name="conv")(x)
-        y = Norm(self.norm, name="norm")(y)
-        y = PReLU(name="prelu")(y)
+        if self.norm == "instance":
+            g, b = _NormParams(self.filters, name="norm")()
+            alpha = _AlphaParams(self.filters, name="prelu")()
+            y = pnorms.instance_norm_act(y, g, b, alpha, "prelu")
+        else:
+            y = PReLU(name="prelu")(y)
         return nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
 
 
@@ -315,9 +374,15 @@ class UnetUpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
+
         y = conv_t(self.filters, self.kernel_size, 2, dtype=self.dtype, name="conv_t")(x)
-        y = Norm(self.norm, name="norm")(y)
-        y = PReLU(name="prelu")(y)
+        if self.norm == "instance":
+            g, b = _NormParams(self.filters, name="norm")()
+            alpha = _AlphaParams(self.filters, name="prelu")()
+            y = pnorms.instance_norm_act(y, g, b, alpha, "prelu")
+        else:
+            y = PReLU(name="prelu")(y)
         return nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
 
 

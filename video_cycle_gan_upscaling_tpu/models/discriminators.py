@@ -17,7 +17,22 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from video_cycle_gan_upscaling_tpu.models.blocks import Norm, conv
+from video_cycle_gan_upscaling_tpu.models.blocks import Norm, _NormParams, conv
+from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
+
+_SLOPE01 = jnp.full((1,), 0.1, jnp.float32)
+_SLOPE02 = jnp.full((1,), 0.2, jnp.float32)
+
+
+def _norm_leaky(parent, y, kind: str, name: str, slope):
+    """Fused norm + LeakyReLU epilogue (param tree matches Norm)."""
+    if kind == "instance":
+        g, b = _NormParams(y.shape[-1], name=name, parent=parent)()
+        return pnorms.instance_norm_act(y, g, b, slope, "leaky")
+    from video_cycle_gan_upscaling_tpu.ops import nn as _vops
+
+    return _vops.leaky_relu(Norm(kind, name=name, parent=parent)(y),
+                            float(slope[0]))
 from video_cycle_gan_upscaling_tpu.ops import nn as vops
 
 
@@ -55,8 +70,9 @@ class _ConvPyramidDisc(nn.Module):
             y = conv(f, k, stride=s, padding=self.padding, dtype=self.dtype,
                      name=f"block_{i + 1}_conv")(y)
             if i > 0:
-                y = Norm(self.norm, name=f"block_{i + 1}_norm")(y)
-            y = vops.leaky_relu(y, 0.1)
+                y = _norm_leaky(self, y, self.norm, f"block_{i + 1}_norm", _SLOPE01)
+            else:
+                y = vops.leaky_relu(y, 0.1)
         y = y.reshape((y.shape[0], -1))
         for j, width in enumerate(self.dense):
             y = nn.Dense(width, dtype=self.dtype, param_dtype=jnp.float32,
@@ -119,12 +135,10 @@ class PatchGanDiscriminator(nn.Module):
         for i in range(1, self.n_layers):
             f = min(f * 2, 512)
             y = conv(f, 4, stride=2, dtype=self.dtype, name=f"block_{i + 1}_conv")(y)
-            y = Norm(self.norm, name=f"block_{i + 1}_norm")(y)
-            y = vops.leaky_relu(y, 0.2)
+            y = _norm_leaky(self, y, self.norm, f"block_{i + 1}_norm", _SLOPE02)
         f = min(f * 2, 512)
         y = conv(f, 4, stride=1, dtype=self.dtype, name="penult_conv")(y)
-        y = Norm(self.norm, name="penult_norm")(y)
-        y = vops.leaky_relu(y, 0.2)
+        y = _norm_leaky(self, y, self.norm, "penult_norm", _SLOPE02)
         y = conv(1, 4, stride=1, dtype=self.dtype, name="head_conv")(y)
         return output_activation(y.astype(jnp.float32), self.activation)
 

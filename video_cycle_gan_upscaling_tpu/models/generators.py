@@ -47,6 +47,29 @@ from video_cycle_gan_upscaling_tpu.models.blocks import (
 from video_cycle_gan_upscaling_tpu.ops import nn as vops
 
 
+def _norm_residual(parent, y, skip, kind: str, name: str):
+    """Fused norm + residual-add epilogue (param tree matches Norm)."""
+    if kind == "instance":
+        from video_cycle_gan_upscaling_tpu.models.blocks import _NormParams
+        from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
+
+        g, b = _NormParams(y.shape[-1], name=name, parent=parent)()
+        return pnorms.instance_norm_residual(y, g, b, skip)
+    return skip + Norm(kind, name=name, parent=parent)(y)
+
+
+def _norm_relu(parent, y, kind: str, name: str):
+    """Fused norm + ReLU (CycleGAN generator epilogue)."""
+    if kind == "instance":
+        from video_cycle_gan_upscaling_tpu.models.blocks import _NormParams
+        from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
+
+        g, b = _NormParams(y.shape[-1], name=name, parent=parent)()
+        return pnorms.instance_norm_act(y, g, b, jnp.zeros((1,), jnp.float32),
+                                        "relu")
+    return jax.nn.relu(Norm(kind, name=name, parent=parent)(y))
+
+
 def _upscale_times(factor: int) -> int:
     t = int(math.log2(factor))
     if 2 ** t != factor:
@@ -71,7 +94,9 @@ class UpscalerOrig(nn.Module):
     res_block_num: int = 16
     norm: str = "instance"
     dtype: jnp.dtype = jnp.float32
-    phase_tail: bool = True
+    # default False: the phase graph's gather/scatter autodiff compiles
+    # slowly; enable for inference graphs (bench, upscale CLI, entry())
+    phase_tail: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -89,8 +114,7 @@ class UpscalerOrig(nn.Module):
             y = ResidualBlock(self.kernel_size, self.filters, self.norm,
                               self.dtype, name=f"res_block_{i}")(y)
         y = conv(self.filters, self.kernel_size, dtype=self.dtype, name="prefinal_conv")(y)
-        y = Norm(self.norm, name="prefinal_norm")(y)
-        y = trunk_in + y
+        y = _norm_residual(self, y, trunk_in, self.norm, "prefinal_norm")
         times = _upscale_times(self.upscale_factor)
         if not self.phase_tail:
             for i in range(times):
@@ -140,8 +164,7 @@ class UpscalerAttention(nn.Module):
             y = AttentionResidualBlock(self.kernel_size, self.filters, self.norm,
                                        self.dtype, name=f"res_block_{i}")(y, x)
         y = conv(self.filters, self.kernel_size, dtype=self.dtype, name="after_res_conv")(y)
-        y = Norm(self.norm, name="after_res_norm")(y)
-        y = trunk_in + y
+        y = _norm_residual(self, y, trunk_in, self.norm, "after_res_norm")
         for i in range(_upscale_times(self.upscale_factor)):
             scale = 2 ** (i + 1)
             y = AttentionUpsamplingBlock(scale, self.kernel_size, 128, self.dtype,
@@ -172,8 +195,7 @@ class UpscalerSkipCon(nn.Module):
             y = ResidualBlock(self.kernel_size, self.filters, self.norm,
                               self.dtype, name=f"res_block_{i}")(y)
         y = conv(self.filters, 3, dtype=self.dtype, name="prefinal_conv")(y)
-        y = Norm(self.norm, name="prefinal_norm")(y)
-        y = trunk_in + y
+        y = _norm_residual(self, y, trunk_in, self.norm, "prefinal_norm")
         for i in range(_upscale_times(self.upscale_factor)):
             y = UpsamplingBlock(3, 224, self.dtype, name=f"upscale_{i}")(y)
         resized = vops.resize_bilinear(x, self.upscale_factor)
@@ -216,8 +238,7 @@ class UpscalerIncepResnet(nn.Module):
                 y = cls(self.filters, kernel, self.norm, self.dtype,
                         name=f"stage_{stage}_{i}")(y)
         y = conv(self.filters, self.c_block_kernel, dtype=self.dtype, name="prefinal_conv")(y)
-        y = Norm(self.norm, name="prefinal_norm")(y)
-        y = trunk_in + y
+        y = _norm_residual(self, y, trunk_in, self.norm, "prefinal_norm")
         for i in range(_upscale_times(self.upscale_factor)):
             y = UpsamplingBlock(self.c_block_kernel, 256, self.dtype, name=f"upscale_{i}")(y)
         y = conv(3, 9, dtype=self.dtype, name="final_conv")(y)
@@ -377,38 +398,36 @@ class CycleGanResnetGenerator(nn.Module):
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         y = conv(self.filters, 7, dtype=self.dtype, name="stem")(x)
-        y = Norm(self.norm, name="stem_norm")(y)
-        y = jax.nn.relu(y)
+        y = _norm_relu(self, y, self.norm, "stem_norm")
         f = self.filters
         for i in range(2):
             f *= 2
             y = conv(f, 3, stride=2, dtype=self.dtype, name=f"down_{i}")(y)
-            y = Norm(self.norm, name=f"down_{i}_norm")(y)
-            y = jax.nn.relu(y)
+            y = _norm_relu(self, y, self.norm, f"down_{i}_norm")
         for i in range(self.res_block_num):
             skip = y
             z = conv(f, 3, dtype=self.dtype, name=f"res_{i}_conv1")(y)
-            z = Norm(self.norm, name=f"res_{i}_norm1")(z)
-            z = jax.nn.relu(z)
+            z = _norm_relu(self, z, self.norm, f"res_{i}_norm1")
             z = conv(f, 3, dtype=self.dtype, name=f"res_{i}_conv2")(z)
-            z = Norm(self.norm, name=f"res_{i}_norm2")(z)
-            y = skip + z
+            y = _norm_residual(self, z, skip, self.norm, f"res_{i}_norm2")
         for i in range(2):
             f //= 2
             y = conv_t(f, 3, 2, dtype=self.dtype, name=f"up_{i}")(y)
-            y = Norm(self.norm, name=f"up_{i}_norm")(y)
-            y = jax.nn.relu(y)
+            y = _norm_relu(self, y, self.norm, f"up_{i}_norm")
         y = conv(3, 7, dtype=self.dtype, name="head")(y)
         return jnp.tanh(y.astype(jnp.float32))
 
 
-def make_generator(cfg, upscale_factor: int | None = None, dtype=jnp.float32):
-    """Factory keyed on ModelConfig.generator (train_gan.py:208-217 parity)."""
+def make_generator(cfg, upscale_factor: int | None = None, dtype=jnp.float32,
+                   phase_tail: bool = False):
+    """Factory keyed on ModelConfig.generator (train_gan.py:208-217 parity).
+    ``phase_tail`` selects the fast inference tail where supported."""
     f = upscale_factor if upscale_factor is not None else 4
     common = dict(norm=cfg.norm, dtype=dtype)
     name = cfg.generator
     if name == "orig":
-        return UpscalerOrig(cfg.kernel_size, cfg.filters, f, cfg.res_block_num, **common)
+        return UpscalerOrig(cfg.kernel_size, cfg.filters, f, cfg.res_block_num,
+                            phase_tail=phase_tail, **common)
     if name == "skip-con":
         return UpscalerSkipCon(cfg.kernel_size, cfg.filters, f, cfg.res_block_num, **common)
     if name == "resnet-att":

@@ -74,7 +74,9 @@ def _apply_kernel(x_ref, scale_ref, shift_ref, alpha_ref, o_ref, *, act: str):
         y = jnp.maximum(y, 0)
     elif act in ("leaky", "prelu"):
         a = alpha_ref[0, :].astype(y.dtype)
-        y = jnp.where(y >= 0, y, a * y)
+        # Mosaic lacks bf16 vector compares; compare in f32
+        neg = y.astype(jnp.float32) < 0.0
+        y = jnp.where(neg, a * y, y)
     o_ref[0] = y
 
 
@@ -122,8 +124,14 @@ def _apply_pallas(x: jax.Array, scale: jax.Array, shift: jax.Array,
 
 
 def _moments_mxu(x: jax.Array):
-    """Reduction-as-matmul fallback/backward helper: per-(n,c) mean/var."""
+    """Per-(n,c) mean/var. On TPU: reduction-as-matmul (the MXU does the
+    row sum at memory bandwidth); off-TPU plain reductions compile faster."""
     n, h, w, c = x.shape
+    if not _on_tpu():
+        xf = x.astype(jnp.float32)
+        m = jnp.mean(xf, axis=(1, 2))
+        var = jnp.mean(lax.square(xf), axis=(1, 2)) - lax.square(m)
+        return m, var
     xr = x.reshape(n, h * w, c)
     ones = jnp.ones((h * w,), x.dtype)
     dims = (((0,), (1,)), ((), ()))
@@ -134,8 +142,10 @@ def _moments_mxu(x: jax.Array):
 
 
 def _sum_hw(x: jax.Array):
-    """[N,H,W,C] -> [N,C] f32 sum via MXU dot."""
+    """[N,H,W,C] -> [N,C] f32 sum (MXU dot on TPU, plain sum off-TPU)."""
     n, h, w, c = x.shape
+    if not _on_tpu():
+        return jnp.sum(x.astype(jnp.float32), axis=(1, 2))
     xr = x.reshape(n, h * w, c)
     ones = jnp.ones((h * w,), x.dtype)
     return lax.dot_general(ones, xr, (((0,), (1,)), ((), ())),
@@ -251,3 +261,99 @@ def _bwd(act, eps, res, dy):
 
 
 instance_norm_act.defvjp(_fwd, _bwd)
+
+
+# ------------------------------------------------- norm + residual-add fusion
+def _apply_res_kernel(x_ref, res_ref, scale_ref, shift_ref, o_ref):
+    xv = x_ref[0]
+    sc = scale_ref[0, 0, :].astype(xv.dtype)
+    sh = shift_ref[0, 0, :].astype(xv.dtype)
+    o_ref[0] = xv * sc + sh + res_ref[0].astype(xv.dtype)
+
+
+def _apply_res_pallas(x, res, scale, shift):
+    n, h, w, c = x.shape
+    th = _pick_tile(h, w, c)
+    blk = pl.BlockSpec((1, th, w, c), lambda i, j: (i, j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _apply_res_kernel,
+        grid=(n, h // th),
+        in_specs=[blk, blk, vec, vec],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=INTERPRET,
+    )(x, res, scale[:, None, :], shift[:, None, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def instance_norm_residual(x, gamma, beta, res, eps: float = 1e-5):
+    """Fused ``instance_norm(x)*gamma + beta + res`` — the residual-block
+    epilogue (model.py:25 Add after the post-conv BatchNorm), one pass
+    instead of norm-then-add."""
+    y, _ = _forward_res(x, gamma, beta, res, eps)
+    return y
+
+
+def _forward_res(x, gamma, beta, res, eps):
+    use_pallas = _HAVE_PALLAS and (_on_tpu() or INTERPRET)
+    n, h, w, c = x.shape
+    pack = 1
+    if use_pallas and c < 128 and 128 % c == 0:
+        pack = 128 // c
+        while pack > 1 and w % pack:
+            pack //= 2
+    xp = x.reshape(n, h, w // pack, c * pack) if pack > 1 else x
+    if use_pallas:
+        m_p, var_p = _moments_pallas(xp)
+        if pack > 1:
+            s1 = (m_p * (h * (w // pack))).reshape(n, pack, c).sum(axis=1)
+            s2 = ((var_p + m_p * m_p) * (h * (w // pack))
+                  ).reshape(n, pack, c).sum(axis=1)
+            m = s1 / (h * w)
+            var = s2 / (h * w) - m * m
+        else:
+            m, var = m_p, var_p
+    else:
+        m, var = _moments_mxu(x)
+    inv = lax.rsqrt(var + eps)
+    scale = gamma[None, :] * inv
+    shift = beta[None, :] - m * scale
+    if use_pallas:
+        if pack > 1:
+            rp = res.reshape(n, h, w // pack, c * pack)
+            y = _apply_res_pallas(xp, rp, jnp.tile(scale, (1, pack)),
+                                  jnp.tile(shift, (1, pack)))
+            y = y.reshape(n, h, w, c)
+        else:
+            y = _apply_res_pallas(x, res, scale, shift)
+    else:
+        y = (x * scale[:, None, None, :].astype(x.dtype)
+             + shift[:, None, None, :].astype(x.dtype) + res.astype(x.dtype))
+    return y, (x, gamma, beta, m, inv)
+
+
+def _fwd_res(x, gamma, beta, res, eps):
+    return _forward_res(x, gamma, beta, res, eps)
+
+
+def _bwd_res(eps, resids, dy):
+    x, gamma, beta, m, inv = resids
+    n, h, w, c = x.shape
+    M = h * w
+    xhat = ((x.astype(jnp.float32) - m[:, None, None, :])
+            * inv[:, None, None, :]).astype(x.dtype)
+    dgamma_n = _sum_hw(dy * xhat)
+    dbeta_n = _sum_hw(dy)
+    g = gamma[None, :] * inv
+    dx = (g / M)[:, None, None, :] * (
+        M * dy.astype(jnp.float32) - dbeta_n[:, None, None, :]
+        - xhat.astype(jnp.float32) * dgamma_n[:, None, None, :]
+    )
+    return (dx.astype(x.dtype), dgamma_n.sum(axis=0).astype(gamma.dtype),
+            dbeta_n.sum(axis=0).astype(beta.dtype), dy)
+
+
+instance_norm_residual.defvjp(_fwd_res, _bwd_res)
