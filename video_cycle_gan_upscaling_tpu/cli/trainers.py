@@ -55,6 +55,7 @@ from video_cycle_gan_upscaling_tpu.train import (
 )
 from video_cycle_gan_upscaling_tpu.train.loop import run_training_loop
 from video_cycle_gan_upscaling_tpu.utils.logging import save_sample_images
+from video_cycle_gan_upscaling_tpu.utils.summary import write_summary
 
 
 def _maybe_tqdm():
@@ -134,6 +135,8 @@ def run_supervised(run: Run, whole_frames: bool):
     state = create_generator_state(
         model, jax.random.PRNGKey(cfg.train.seed), lr0,
         make_optimizer(cfg.train.learning_rate, cfg.train.adam_b1, cfg.train.adam_b2))
+    write_summary(os.path.join(run.dirs["losses"], "model_summary.txt"),
+                  state.params, cfg.model.generator)
     state = run.maybe_resume(state)
 
     step = make_supervised_step(content, seed=cfg.train.seed)
@@ -232,6 +235,9 @@ def run_cgc(run: Run, fresh_crops: bool, gan: bool = False):
                                  lr0, hr0, g_tx=tx, d_tx=make_optimizer(
                                      cfg.train.learning_rate, cfg.train.adam_b1,
                                      cfg.train.adam_b2))
+        write_summary(os.path.join(run.dirs["losses"], "model_summary.txt"),
+                      {"generator": state.g.params, "discriminator": state.d.params},
+                      f"{cfg.model.generator} + {cfg.model.discriminator}")
         state = run.maybe_resume(state)
         step = make_gan_step(run.adversarial(), run.content_loss(),
                              cfg.loss.content_loss_weight,
@@ -297,6 +303,9 @@ def run_cyclegan(run: Run, domain_a_dir: str, domain_b_dir: str):
         a0, b0, pool_size=cfg.train.replay_buffer_size,
         tx_factory=lambda: make_optimizer(cfg.train.learning_rate, 0.5,
                                           cfg.train.adam_b2))
+    write_summary(os.path.join(run.dirs["losses"], "model_summary.txt"),
+                  {"g_ab": state.g_ab.params, "d_a": state.d_a.params},
+                  "cyclegan G/D")
     state = run.maybe_resume(state)
     step = make_cyclegan_step(run.adversarial(), cfg.loss.cycle_loss_weight,
                               cfg.loss.identity_loss_weight)

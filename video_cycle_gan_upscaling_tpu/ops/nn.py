@@ -32,8 +32,7 @@ def same_conv(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=CONV_DIMS,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
@@ -51,8 +50,7 @@ def conv_transpose_same(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
         strides=(stride, stride),
         padding="SAME",
         dimension_numbers=CONV_DIMS,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if b is not None:
         y = y + b.astype(y.dtype)
     return y

@@ -132,8 +132,7 @@ def conv_transpose_d2s(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
         window_strides=(1, 1),
         padding=((q_y, n_y - 1 - q_y), (q_x, n_x - 1 - q_x)),
         dimension_numbers=CONV_DIMS,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     y = depth_to_space(y, stride)
     if b is not None:
         y = y + b.astype(y.dtype)
@@ -208,8 +207,7 @@ def conv_same_phase(x_phase: jax.Array, w: jax.Array,
         window_strides=(1, 1),
         padding=((py_l, py_h), (px_l, px_h)),
         dimension_numbers=CONV_DIMS,
-        preferred_element_type=jnp.float32,
-    ).astype(x_phase.dtype)
+    )
     if b is not None:
         bb = jnp.tile(b, stride * stride)
         y = y + bb.astype(y.dtype)
@@ -242,8 +240,7 @@ def transpose_conv_phase(x_phase: jax.Array, w: jax.Array,
         y = lax.conv_general_dilated(
             x_phase, wp.astype(x_phase.dtype), (1, 1),
             ((q_y, n_y - 1 - q_y), (q_x, n_x - 1 - q_x)),
-            dimension_numbers=CONV_DIMS,
-            preferred_element_type=jnp.float32).astype(x_phase.dtype)
+            dimension_numbers=CONV_DIMS)
         # layout is already canonical stride-phase blocks of c_out
     else:
         wpp, (py_l, py_h), (px_l, px_h) = _rearrange_same_kernel(
@@ -251,8 +248,7 @@ def transpose_conv_phase(x_phase: jax.Array, w: jax.Array,
         y = lax.conv_general_dilated(
             x_phase, wpp.astype(x_phase.dtype), (1, 1),
             ((py_l, py_h), (px_l, px_h)),
-            dimension_numbers=CONV_DIMS,
-            preferred_element_type=jnp.float32).astype(x_phase.dtype)
+            dimension_numbers=CONV_DIMS)
         y = renest_phases(y, r, stride, c_out)
     if b is not None:
         y = y + jnp.tile(b, r * stride * r * stride).astype(y.dtype)

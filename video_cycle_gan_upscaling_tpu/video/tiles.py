@@ -130,4 +130,21 @@ def make_tiled_upscaler(apply_fn: Callable, frame_hw: Tuple[int, int],
             hr_tiles = apply_fn(params, tiles)
         return merge_tiles(hr_tiles, hr_positions, hr_windows, hr_frame)
 
-    return upscale
+    @jax.jit
+    def upscale_batch(params, frames_lr: jax.Array) -> jax.Array:
+        """[F,H,W,C] -> [F,H*f,W*f,C]: tiles of all frames batched through
+        one generator call (amortizes per-call overhead, feeds the MXU a
+        bigger batch)."""
+        f_n = frames_lr.shape[0]
+        tiles = jax.vmap(lambda fr: split_tiles(fr, positions, tile_hw))(frames_lr)
+        flat = tiles.reshape(-1, *tiles.shape[2:])
+        hr_flat = apply_fn(params, flat)
+        hr_tiles = hr_flat.reshape(f_n, -1, *hr_flat.shape[1:])
+        return jax.vmap(
+            lambda t: merge_tiles(t, hr_positions, hr_windows, hr_frame))(hr_tiles)
+
+    def upscale_one(params, frame_lr):
+        return upscale(params, frame_lr)
+
+    upscale_one.batch = upscale_batch
+    return upscale_one
