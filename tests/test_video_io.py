@@ -1,0 +1,89 @@
+"""Frame IO tests: image-dir sources/sinks, pure-Python y4m container
+roundtrip, ffmpeg gating, and the upscale_clip pipeline."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from video_cycle_gan_upscaling_tpu.video import io as vio
+
+
+def _frames(n=3, h=24, w=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.uniform(-1, 1, (h, w, 3)).astype(np.float32) for _ in range(n)]
+
+
+def test_image_dir_roundtrip(tmp_path):
+    sink = vio.ImageDirSink(str(tmp_path / "out"), ext=".png")
+    frames = _frames()
+    for f in frames:
+        sink.write(f)
+    src = vio.ImageDirSource(str(tmp_path / "out"), ext=".png")
+    assert len(src) == 3
+    back = list(src)
+    # png is lossless modulo uint8 quantization
+    np.testing.assert_allclose(back[0], frames[0], atol=1 / 127.5)
+
+
+def test_y4m_roundtrip(tmp_path):
+    path = str(tmp_path / "clip.y4m")
+    frames = _frames(4)
+    sink = vio.Y4mSink(path, (24, 32), fps=25)
+    for f in frames:
+        sink.write(f)
+    sink.close()
+    src = vio.Y4mSource(path)
+    assert (src.height, src.width) == (24, 32)
+    back = list(src)
+    assert len(back) == 4
+    # YUV444 full-range roundtrip: small quantization error
+    np.testing.assert_allclose(back[0], frames[0], atol=0.03)
+
+
+def test_y4m_rejects_bad_magic(tmp_path):
+    p = tmp_path / "bad.y4m"
+    p.write_bytes(b"NOTY4M stuff\n")
+    with pytest.raises(ValueError):
+        vio.Y4mSource(str(p))
+
+
+def test_ffmpeg_gated():
+    if vio.have_ffmpeg():
+        pytest.skip("ffmpeg exists here")
+    with pytest.raises(RuntimeError):
+        vio.FfmpegSource("x.mp4", (10, 10))
+    with pytest.raises(RuntimeError):
+        vio.FfmpegSink("x.mp4", (10, 10))
+
+
+def test_open_source_dispatch(tmp_path):
+    d = tmp_path / "frames"
+    d.mkdir()
+    Image.new("RGB", (8, 8)).save(d / "f.jpg")
+    assert isinstance(vio.open_source(str(d)), vio.ImageDirSource)
+    sink = vio.Y4mSink(str(tmp_path / "c.y4m"), (8, 8))
+    sink.write(np.zeros((8, 8, 3), np.float32))
+    sink.close()
+    assert isinstance(vio.open_source(str(tmp_path / "c.y4m")), vio.Y4mSource)
+
+
+def test_upscale_clip_pipeline(tmp_path):
+    # nearest-neighbor "generator": end-to-end clip path incl. prefetch
+    from video_cycle_gan_upscaling_tpu.ops.nn import resize_nearest
+    from video_cycle_gan_upscaling_tpu.video.infer import upscale_clip
+
+    d = tmp_path / "in"
+    d.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        arr = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"f_{i}.jpg", quality=95)
+    sink = vio.ImageDirSink(str(tmp_path / "out"), ext=".png")
+    res = upscale_clip(lambda p, x: resize_nearest(x, 4), {},
+                       vio.ImageDirSource(str(d)), sink,
+                       frame_hw=(12, 16), tile_hw=(8, 8), overlap=2,
+                       upscale_factor=4)
+    assert res["frames"] == 3
+    outs = sorted((tmp_path / "out").iterdir())
+    assert len(outs) == 3
+    assert Image.open(outs[0]).size == (64, 48)
