@@ -37,6 +37,9 @@ except Exception:  # pragma: no cover
 
 # Test hook: force the pallas path in interpreter mode (CPU CI).
 INTERPRET = False
+# Perf knob: pack sub-128 channel dims into lanes via free reshape.
+import os as _os
+PACK_LANES = _os.environ.get("VCGU_NORM_PACK", "1") != "0"
 
 
 def _pick_tile(h: int, w: int, c: int, budget_bytes: int = 1 * 1024 * 1024) -> int:
@@ -178,7 +181,7 @@ def _forward(x, gamma, beta, alpha, act, eps):
     # lane packing: C below the 128-lane width wastes VPU lanes and pads
     # VMEM blocks; [N,H,W,C] -> [N,H,W/p,C*p] is a free row-major reshape.
     pack = 1
-    if use_pallas and c < 128 and 128 % c == 0:
+    if use_pallas and PACK_LANES and c < 128 and 128 % c == 0:
         pack = 128 // c
         while pack > 1 and w % pack:
             pack //= 2
