@@ -57,18 +57,44 @@ def test_norm_invariance_to_conv_scale_and_bias():
 
 
 @pytest.mark.parametrize("act", ["none", "prelu"])
-def test_instance_norm_act_quant_matches_float(act):
-    key = jax.random.PRNGKey(5)
-    acc = jax.random.randint(key, (1, 8, 16, 8), -4000, 4000, jnp.int32)
-    g = jnp.abs(jax.random.normal(jax.random.PRNGKey(6), (8,))) + 0.5
-    b = jax.random.normal(jax.random.PRNGKey(7), (8,)) * 0.2
-    alpha = jnp.full((8,), 0.25)
-    q = instance_norm_act_quant(acc, g, b, alpha, act)
-    assert q.dtype == jnp.int8
-    # float reference
-    y = pnorms.instance_norm_act(acc.astype(jnp.float32), g, b, alpha, act)
-    ref = np.clip(np.round(np.asarray(y) * quant.QSCALE), -127, 127)
-    np.testing.assert_allclose(np.asarray(q).astype(np.float32), ref, atol=1.0)
+@pytest.mark.parametrize("interpret", [False, True])
+def test_instance_norm_act_quant_matches_float(act, interpret):
+    pnorms.INTERPRET = interpret
+    try:
+        key = jax.random.PRNGKey(5)
+        acc = jax.random.randint(key, (1, 8, 16, 8), -4000, 4000, jnp.int32)
+        g = jnp.abs(jax.random.normal(jax.random.PRNGKey(6), (8,))) + 0.5
+        b = jax.random.normal(jax.random.PRNGKey(7), (8,)) * 0.2
+        alpha = jnp.full((8,), 0.25)
+        q = instance_norm_act_quant(acc, g, b, alpha, act)
+        assert q.dtype == jnp.int8
+        # float reference
+        y = pnorms.instance_norm_act(acc.astype(jnp.float32), g, b, alpha, act)
+        ref = np.clip(np.round(np.asarray(y) * quant.QSCALE), -127, 127)
+        np.testing.assert_allclose(np.asarray(q).astype(np.float32), ref, atol=1.0)
+    finally:
+        pnorms.INTERPRET = False
+
+
+def test_quant_norm_residual_interpret_packed():
+    # exercises the lane-packed pallas path incl. integer residual math
+    pnorms.INTERPRET = True
+    try:
+        acc = jax.random.randint(jax.random.PRNGKey(8), (1, 8, 16, 8),
+                                 -4000, 4000, jnp.int32)
+        g = jnp.ones((8,))
+        b = jnp.zeros((8,))
+        res = jax.random.randint(jax.random.PRNGKey(9), (1, 8, 16, 8),
+                                 -100, 100, jnp.int8)
+        q = instance_norm_act_quant(acc, g, b, jnp.zeros((1,)), "none",
+                                    residual=res, res_rescale=1.0)
+        y = pnorms.instance_norm_act(acc.astype(jnp.float32), g, b,
+                                     jnp.zeros((1,)), "none")
+        ref = np.clip(np.round(np.asarray(y) * quant.QSCALE)
+                      + np.asarray(res), -127, 127)
+        np.testing.assert_allclose(np.asarray(q).astype(np.float32), ref, atol=1.0)
+    finally:
+        pnorms.INTERPRET = False
 
 
 def test_quant_residual_add_exact():

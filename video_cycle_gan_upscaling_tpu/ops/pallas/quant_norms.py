@@ -64,8 +64,24 @@ def instance_norm_act_quant(acc: jax.Array, gamma: jax.Array, beta: jax.Array,
     """
     n, h, w, c = acc.shape
     use_pallas = _HAVE_PALLAS and (_norms._on_tpu() or _norms.INTERPRET)
+    # lane packing (free row-major reshape): int8/bf16 tiles with C<128
+    # lanes waste most of the VPU and VMEM
+    pack = 1
+    if use_pallas and c < 128 and 128 % c == 0:
+        pack = 128 // c
+        while pack > 1 and w % pack:
+            pack //= 2
     if use_pallas:
-        m, var = _norms._moments_pallas(acc)
+        accp = acc.reshape(n, h, w // pack, c * pack) if pack > 1 else acc
+        m_p, var_p = _norms._moments_pallas(accp)
+        if pack > 1:
+            hw = h * (w // pack)
+            s1 = (m_p * hw).reshape(n, pack, c).sum(axis=1)
+            s2 = ((var_p + m_p * m_p) * hw).reshape(n, pack, c).sum(axis=1)
+            m = s1 / (h * w)
+            var = s2 / (h * w) - m * m
+        else:
+            m, var = m_p, var_p
     else:
         accf = acc.astype(jnp.float32)
         m = jnp.mean(accf, axis=(1, 2))
@@ -86,27 +102,33 @@ def instance_norm_act_quant(acc: jax.Array, gamma: jax.Array, beta: jax.Array,
             q = q + residual.astype(jnp.float32) * jnp.asarray(res_rescale, jnp.float32)
         return jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
 
-    th = _norms._pick_tile(h, w, c)
-    blk = pl.BlockSpec((1, th, w, c), lambda i, j: (i, j, 0, 0),
+    wp, cp = w // pack, c * pack
+    if pack > 1:
+        scale = jnp.tile(scale, (1, pack))
+        shift = jnp.tile(shift, (1, pack))
+        alpha_c = jnp.tile(alpha_c, pack)
+    th = _norms._pick_tile(h, wp, cp)
+    blk = pl.BlockSpec((1, th, wp, cp), lambda i, j: (i, j, 0, 0),
                        memory_space=pltpu.VMEM)
-    vec = pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+    vec = pl.BlockSpec((1, 1, cp), lambda i, j: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    avec = pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    avec = pl.BlockSpec((1, cp), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     has_res = residual is not None
     kernel = functools.partial(_apply_quant_kernel, act=act,
                                out_scale=float(out_scale),
                                has_res=has_res)
     scal = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     in_specs = [blk, vec, vec, avec] + ([blk, scal] if has_res else [])
-    args = [acc, scale[:, None, :], shift[:, None, :], alpha_c[None, :]]
+    args = [accp, scale[:, None, :], shift[:, None, :], alpha_c[None, :]]
     if has_res:
-        args.append(residual)
+        args.append(residual.reshape(n, h, wp, cp))
         args.append(jnp.asarray(res_rescale, jnp.float32).reshape(1, 1))
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(n, h // th),
         in_specs=in_specs,
         out_specs=blk,
-        out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((n, h, wp, cp), jnp.int8),
         interpret=_norms.INTERPRET,
     )(*args)
+    return out.reshape(n, h, w, c)
