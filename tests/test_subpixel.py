@@ -132,3 +132,26 @@ def test_conv_same_phase_blocked_exact(r, extra):
     out = sp.depth_to_space(out_phase, r * extra)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+def test_upscaler_skipcon_phase_tail_matches_pixel_path(factor):
+    from video_cycle_gan_upscaling_tpu.models import UpscalerSkipCon
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (1, 8, 12, 3), minval=-1, maxval=1)
+    m_pix = UpscalerSkipCon(res_block_num=1, filters=8, kernel_size=3,
+                            upscale_factor=factor, phase_tail=False)
+    m_phase = UpscalerSkipCon(res_block_num=1, filters=8, kernel_size=3,
+                              upscale_factor=factor, phase_tail=True)
+    v_pix = m_pix.init(key, x)
+    v_phase = m_phase.init(key, x)
+    flat_a = jax.tree_util.tree_leaves_with_path(v_pix)
+    flat_b = jax.tree_util.tree_leaves_with_path(v_phase)
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+    for (_, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out_pix = m_pix.apply(v_pix, x)
+    out_phase = m_phase.apply(v_phase, x)
+    np.testing.assert_allclose(np.asarray(out_phase), np.asarray(out_pix),
+                               rtol=2e-4, atol=2e-4)

@@ -176,7 +176,8 @@ class UpscalerAttention(nn.Module):
 class UpscalerSkipCon(nn.Module):
     """SRGAN trunk + bilinear-resized input concat before the final conv
     (model.py:332-363; 224-ch upsample kept for parity with the reference's
-    OOM workaround note at model.py:353)."""
+    OOM workaround note at model.py:353). ``phase_tail`` as in UpscalerOrig
+    (the resized-input concat happens per phase block)."""
 
     kernel_size: int = 5
     filters: int = 64
@@ -184,9 +185,16 @@ class UpscalerSkipCon(nn.Module):
     res_block_num: int = 16
     norm: str = "instance"
     dtype: jnp.dtype = jnp.float32
+    phase_tail: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from video_cycle_gan_upscaling_tpu.models.blocks import (
+            UpsamplingBlockPhase,
+            _ConvParams,
+        )
+        from video_cycle_gan_upscaling_tpu.ops import subpixel as sp
+
         x = x.astype(self.dtype)
         y = conv(self.filters, 9, dtype=self.dtype, name="initial_conv")(x)
         y = PReLU(name="initial_prelu")(y)
@@ -196,12 +204,38 @@ class UpscalerSkipCon(nn.Module):
                               self.dtype, name=f"res_block_{i}")(y)
         y = conv(self.filters, 3, dtype=self.dtype, name="prefinal_conv")(y)
         y = _norm_residual(self, y, trunk_in, self.norm, "prefinal_norm")
-        for i in range(_upscale_times(self.upscale_factor)):
-            y = UpsamplingBlock(3, 224, self.dtype, name=f"upscale_{i}")(y)
+        times = _upscale_times(self.upscale_factor)
         resized = vops.resize_bilinear(x, self.upscale_factor)
-        y = jnp.concatenate([resized, y], axis=-1)
-        y = conv(3, 9, dtype=self.dtype, name="final_conv")(y)
-        return jnp.tanh(y.astype(jnp.float32))
+        if not self.phase_tail:
+            for i in range(times):
+                y = UpsamplingBlock(3, 224, self.dtype, name=f"upscale_{i}")(y)
+            y = jnp.concatenate([resized, y], axis=-1)
+            y = conv(3, 9, dtype=self.dtype, name="final_conv")(y)
+            return jnp.tanh(y.astype(jnp.float32))
+
+        r = 1
+        c_in = self.filters
+        for i in range(times):
+            y = UpsamplingBlockPhase(3, 224, r, self.dtype,
+                                     name=f"upscale_{i}")(y, c_in)
+            r *= 2
+            c_in = 224
+        # per-phase concat of the bilinear-resized input (3ch) with the
+        # phase tensor (HR concat == blockwise concat in phase space)
+        rp = sp.space_to_depth(resized, r)
+        n_, hh, ww, _ = y.shape
+        yb = y.reshape(n_, hh, ww, r * r, c_in)
+        rb = rp.reshape(n_, hh, ww, r * r, 3)
+        y = jnp.concatenate([rb, yb], axis=-1).reshape(n_, hh, ww, -1)
+        w9, b9 = _ConvParams(9, 3 + c_in, 3, name="final_conv")()
+        extra = 1
+        for e in (4, 2):
+            if y.shape[1] % e == 0 and y.shape[2] % e == 0:
+                extra = e
+                break
+        yp = sp.conv_same_phase_blocked(y, w9, b9, r, extra)
+        yp = jnp.tanh(yp.astype(jnp.float32))
+        return sp.depth_to_space(yp, r * extra)
 
 
 class UpscalerIncepResnet(nn.Module):
@@ -429,7 +463,8 @@ def make_generator(cfg, upscale_factor: int | None = None, dtype=jnp.float32,
         return UpscalerOrig(cfg.kernel_size, cfg.filters, f, cfg.res_block_num,
                             phase_tail=phase_tail, **common)
     if name == "skip-con":
-        return UpscalerSkipCon(cfg.kernel_size, cfg.filters, f, cfg.res_block_num, **common)
+        return UpscalerSkipCon(cfg.kernel_size, cfg.filters, f, cfg.res_block_num,
+                               phase_tail=phase_tail, **common)
     if name == "resnet-att":
         return UpscalerAttention(cfg.kernel_size, cfg.filters, f, cfg.res_block_num, **common)
     if name == "inc-resnet":

@@ -33,19 +33,24 @@ def _apply_quant_kernel(*refs, act: str, out_scale: float, has_res: bool):
     else:
         x_ref, scale_ref, shift_ref, alpha_ref, o_ref = refs
         res_ref = rs_ref = None
-    xv = x_ref[0].astype(jnp.float32)
-    sc = scale_ref[0, 0, :]
-    sh = shift_ref[0, 0, :]
+    # bf16 vector math throughout (full VPU rate); int8 rounding tolerates
+    # bf16 granularity (<=0.5 ulp at |q|<=127). Compares must be f32.
+    xv = x_ref[0]
+    ct = xv.dtype if xv.dtype == jnp.bfloat16 else jnp.float32
+    xv = xv.astype(ct)
+    sc = scale_ref[0, 0, :].astype(ct)
+    sh = shift_ref[0, 0, :].astype(ct)
     y = xv * sc + sh
     if act == "relu":
-        y = jnp.maximum(y, 0.0)
+        y = jnp.maximum(y, 0)
     elif act in ("leaky", "prelu"):
-        a = alpha_ref[0, :]
-        y = jnp.where(y < 0.0, a * y, y)
-    q = y * out_scale
+        a = alpha_ref[0, :].astype(ct)
+        y = jnp.where(y.astype(jnp.float32) < 0.0, a * y, y)
+    q = y * jnp.asarray(out_scale, ct)
     if has_res:
-        q = q + res_ref[0].astype(jnp.float32) * rs_ref[0, 0]
-    q = jnp.clip(jnp.round(q), -127.0, 127.0)
+        q = q + res_ref[0].astype(ct) * rs_ref[0, 0].astype(ct)
+    # Mosaic can't round bf16 vectors (math.roundeven) — round/clip in f32
+    q = jnp.clip(jnp.round(q.astype(jnp.float32)), -127.0, 127.0)
     o_ref[0] = q.astype(jnp.int8)
 
 
