@@ -91,3 +91,28 @@ def test_dp_batch_actually_sharded():
     # each shard holds 1 example
     shard = xs.addressable_shards[0]
     assert shard.data.shape == (1, 4, 4, 3)
+
+
+def test_dp_cyclegan_step_runs_sharded():
+    from video_cycle_gan_upscaling_tpu.losses import lsgan_pair_losses
+    from video_cycle_gan_upscaling_tpu.models import CycleGanResnetGenerator
+    from video_cycle_gan_upscaling_tpu.train import (
+        create_cyclegan_state,
+        make_cyclegan_step,
+    )
+
+    a = jax.random.uniform(jax.random.PRNGKey(2), (8, 16, 16, 3), minval=-1, maxval=1)
+    b = jax.random.uniform(jax.random.PRNGKey(3), (8, 16, 16, 3), minval=-1, maxval=1)
+    gen = lambda: CycleGanResnetGenerator(filters=8, res_block_num=1)
+    disc = lambda: PatchGanDiscriminator(base_filters=8, n_layers=2)
+    state = create_cyclegan_state(gen(), gen(), disc(), disc(), KEY,
+                                  a[:1], b[:1], pool_size=4)
+    step = make_cyclegan_step(lsgan_pair_losses())
+    mesh = make_mesh()
+    dp_step = data_parallel_step(step, mesh, n_batch_args=2)
+    state = replicate(state, mesh)
+    state, m = dp_step(state, shard_batch(a, mesh), shard_batch(b, mesh))
+    for k in ("loss_g_total", "loss_cycle", "loss_d_a"):
+        assert np.isfinite(float(m[k])), k
+    # replay pool filled to capacity, state stays replicated + consistent
+    assert int(state.pool_a.size) == 4
