@@ -43,6 +43,9 @@ def main(argv=None):
     p.add_argument("--overlap", type=int, default=16)
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--ext", default=".jpg")
+    p.add_argument("--turbo", action="store_true",
+                   help="W8A8 int8 trunk (orig generator only; lossy — see "
+                        "docs/PERF.md)")
     args = p.parse_args(argv)
 
     cfg = RunConfig.load(os.path.join(args.run_dir, "parameters.json"))
@@ -68,8 +71,20 @@ def main(argv=None):
                          (frame_hw[0] * factor, frame_hw[1] * factor),
                          ext=args.ext)
 
+    apply_fn = lambda prm, x: model.apply({"params": prm}, x)
+    if args.turbo:
+        if cfg.model.generator != "orig":
+            raise SystemExit("--turbo supports the 'orig' generator only")
+        from video_cycle_gan_upscaling_tpu.models.quantized import (
+            quantize_orig_params,
+            quantized_orig_apply,
+        )
+
+        params = quantize_orig_params(params, cfg.model.res_block_num)
+        apply_fn = lambda prm, x: quantized_orig_apply(prm, x, dtype=dtype)
+
     result = upscale_clip(
-        lambda prm, x: model.apply({"params": prm}, x), params, source, sink,
+        apply_fn, params, source, sink,
         frame_hw=frame_hw, tile_hw=(args.tile_height, args.tile_width),
         overlap=args.overlap, upscale_factor=factor,
         max_frames=args.max_frames)
