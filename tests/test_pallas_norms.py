@@ -81,3 +81,70 @@ def test_prelu_alpha_grad_nonzero_at_zero_init():
 
     da = jax.grad(f)(a0)
     assert float(jnp.max(jnp.abs(da))) > 0
+
+
+def test_batch_norm_act_stateless():
+    # stats over (N,H,W); at N=1 it equals instance norm
+    y1 = norms.batch_norm_act(X[:1], G, B, A, "none")
+    ref1 = norms.instance_norm_act(X[:1], G, B, A, "none")
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(ref1),
+                               rtol=1e-3, atol=1e-3)
+    # N>1: per-channel batch statistics are normalized out
+    y = norms.batch_norm_act(X, G, B - B, jnp.zeros((8,)), "none")
+    yn = (np.asarray(y) / np.asarray(G))
+    assert abs(yn.mean()) < 1e-3
+    assert abs(yn.std() - 1.0) < 1e-2
+
+
+def test_batch_norm_differentiable():
+    def f(x, g, b):
+        return jnp.sum(jnp.sin(norms.batch_norm_act(x, g, b, A, "prelu")))
+
+    grads = jax.grad(f, argnums=(0, 1, 2))(X, G, B)
+    for g_ in grads:
+        assert np.all(np.isfinite(np.asarray(g_)))
+
+
+def test_models_accept_batch_norm():
+    from video_cycle_gan_upscaling_tpu.models import (
+        PatchGanDiscriminator,
+        UpscalerOrig,
+    )
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (2, 8, 8, 3), minval=-1, maxval=1)
+    m = UpscalerOrig(res_block_num=1, filters=8, kernel_size=3, norm="batch")
+    v = m.init(key, x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 32, 32, 3)
+    # param tree identical to the instance-norm model (checkpoint compat)
+    v_in = UpscalerOrig(res_block_num=1, filters=8, kernel_size=3,
+                        norm="instance").init(key, x)
+    a = [p for p, _ in jax.tree_util.tree_leaves_with_path(v)]
+    b = [p for p, _ in jax.tree_util.tree_leaves_with_path(v_in)]
+    assert a == b
+    d = PatchGanDiscriminator(base_filters=8, n_layers=2, norm="batch")
+    vd = d.init(key, m.apply(v, x))
+    assert d.apply(vd, m.apply(v, x)).shape == (2, 8, 8, 1)
+
+
+def test_batch_norm_trains():
+    from video_cycle_gan_upscaling_tpu.losses import make_content_loss_per_example
+    from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
+    from video_cycle_gan_upscaling_tpu.train import (
+        create_generator_state,
+        make_supervised_step,
+    )
+
+    key = jax.random.PRNGKey(0)
+    lr = jax.random.uniform(key, (2, 8, 8, 3), minval=-1, maxval=1)
+    hr = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3),
+                            minval=-1, maxval=1)
+    m = UpscalerOrig(res_block_num=1, filters=8, kernel_size=3, norm="batch")
+    state = create_generator_state(m, key, lr)
+    step = make_supervised_step(make_content_loss_per_example("mse"))
+    losses = []
+    for _ in range(10):
+        state, metrics = step(state, lr, hr)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]

@@ -94,7 +94,8 @@ def build_parser(family: str, defaults: Optional[dict] = None) -> argparse.Argum
                    help="Images root (default: <script_dir>/../images)")
     p.add_argument("--output-root", default=".",
                    help="Root for trained_model/losses/example_images trees")
-    p.add_argument("--norm", default="instance", choices=["instance", "none"])
+    p.add_argument("--norm", default="instance",
+                   choices=["instance", "batch", "none"])
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--data-parallel", action="store_true",

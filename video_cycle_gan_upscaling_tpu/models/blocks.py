@@ -45,15 +45,16 @@ class Norm(nn.Module):
     def __call__(self, x):
         if self.kind == "none":
             return x
-        if self.kind != "instance":
+        if self.kind not in ("instance", "batch"):
             raise ValueError(f"unsupported norm kind: {self.kind}")
         from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
 
         c = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return pnorms.instance_norm_act(x, gamma, beta,
-                                        jnp.zeros((1,), jnp.float32), "none")
+        fn = (pnorms.instance_norm_act if self.kind == "instance"
+              else pnorms.batch_norm_act)
+        return fn(x, gamma, beta, jnp.zeros((1,), jnp.float32), "none")
 
 
 def conv(features: int, kernel: int | Tuple[int, int], stride: int = 1,
@@ -184,16 +185,22 @@ class ResidualBlock(nn.Module):
 
         skip = x
         y = conv(self.filters, self.kernel_size, dtype=self.dtype, name="conv_pre")(x)
-        if self.norm == "instance":
+        if self.norm in ("instance", "batch"):
             g1, b1 = _NormParams(self.filters, name="norm_pre")()
             alpha = _AlphaParams(self.filters, name="prelu")()
-            y = pnorms.instance_norm_act(y, g1, b1, alpha, "prelu")
+            fn = (pnorms.instance_norm_act if self.norm == "instance"
+                  else pnorms.batch_norm_act)
+            y = fn(y, g1, b1, alpha, "prelu")
         else:
             y = PReLU(name="prelu")(y)
         y = conv(self.filters, self.kernel_size, dtype=self.dtype, name="conv_post")(y)
         if self.norm == "instance":
             g2, b2 = _NormParams(self.filters, name="norm_post")()
             return pnorms.instance_norm_residual(y, g2, b2, skip)
+        if self.norm == "batch":
+            g2, b2 = _NormParams(self.filters, name="norm_post")()
+            return skip + pnorms.batch_norm_act(
+                y, g2, b2, jnp.zeros((1,), jnp.float32), "none")
         return skip + y
 
 
@@ -215,16 +222,22 @@ class AttentionResidualBlock(nn.Module):
         att = jax.nn.sigmoid(att)
         y = att * x
         y = conv(self.filters, self.kernel_size, dtype=self.dtype, name="conv_pre")(y)
-        if self.norm == "instance":
+        if self.norm in ("instance", "batch"):
             g1, b1 = _NormParams(self.filters, name="norm_pre")()
             alpha = _AlphaParams(self.filters, name="prelu")()
-            y = pnorms.instance_norm_act(y, g1, b1, alpha, "prelu")
+            fn = (pnorms.instance_norm_act if self.norm == "instance"
+                  else pnorms.batch_norm_act)
+            y = fn(y, g1, b1, alpha, "prelu")
         else:
             y = PReLU(name="prelu")(y)
         y = conv(self.filters, self.kernel_size, dtype=self.dtype, name="conv_post")(y)
         if self.norm == "instance":
             g2, b2 = _NormParams(self.filters, name="norm_post")()
             return pnorms.instance_norm_residual(y, g2, b2, skip)
+        if self.norm == "batch":
+            g2, b2 = _NormParams(self.filters, name="norm_post")()
+            return skip + pnorms.batch_norm_act(
+                y, g2, b2, jnp.zeros((1,), jnp.float32), "none")
         return skip + y
 
 
@@ -283,10 +296,12 @@ class InceptionMiniBlock(nn.Module):
     def __call__(self, x):
         from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
 
-        if self.norm == "instance":
+        if self.norm in ("instance", "batch"):
             g, b = _NormParams(x.shape[-1], name="norm")()
             alpha = _AlphaParams(x.shape[-1], name="prelu")()
-            y = pnorms.instance_norm_act(x, g, b, alpha, "prelu")
+            fn = (pnorms.instance_norm_act if self.norm == "instance"
+                  else pnorms.batch_norm_act)
+            y = fn(x, g, b, alpha, "prelu")
         else:
             y = PReLU(name="prelu")(x)
         return conv(self.filters, self.kernel, dtype=self.dtype, name="conv")(y)
@@ -354,10 +369,12 @@ class UnetConvBlock(nn.Module):
         from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
 
         y = conv(self.filters, self.kernel_size, self.stride, dtype=self.dtype, name="conv")(x)
-        if self.norm == "instance":
+        if self.norm in ("instance", "batch"):
             g, b = _NormParams(self.filters, name="norm")()
             alpha = _AlphaParams(self.filters, name="prelu")()
-            y = pnorms.instance_norm_act(y, g, b, alpha, "prelu")
+            fn = (pnorms.instance_norm_act if self.norm == "instance"
+                  else pnorms.batch_norm_act)
+            y = fn(y, g, b, alpha, "prelu")
         else:
             y = PReLU(name="prelu")(y)
         return nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
@@ -377,10 +394,12 @@ class UnetUpBlock(nn.Module):
         from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
 
         y = conv_t(self.filters, self.kernel_size, 2, dtype=self.dtype, name="conv_t")(x)
-        if self.norm == "instance":
+        if self.norm in ("instance", "batch"):
             g, b = _NormParams(self.filters, name="norm")()
             alpha = _AlphaParams(self.filters, name="prelu")()
-            y = pnorms.instance_norm_act(y, g, b, alpha, "prelu")
+            fn = (pnorms.instance_norm_act if self.norm == "instance"
+                  else pnorms.batch_norm_act)
+            y = fn(y, g, b, alpha, "prelu")
         else:
             y = PReLU(name="prelu")(y)
         return nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)

@@ -26,9 +26,11 @@ _SLOPE02 = jnp.full((1,), 0.2, jnp.float32)
 
 def _norm_leaky(parent, y, kind: str, name: str, slope):
     """Fused norm + LeakyReLU epilogue (param tree matches Norm)."""
-    if kind == "instance":
+    if kind in ("instance", "batch"):
         g, b = _NormParams(y.shape[-1], name=name, parent=parent)()
-        return pnorms.instance_norm_act(y, g, b, slope, "leaky")
+        fn = (pnorms.instance_norm_act if kind == "instance"
+              else pnorms.batch_norm_act)
+        return fn(y, g, b, slope, "leaky")
     from video_cycle_gan_upscaling_tpu.ops import nn as _vops
 
     return _vops.leaky_relu(Norm(kind, name=name, parent=parent)(y),

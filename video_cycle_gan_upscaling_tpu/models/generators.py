@@ -55,7 +55,7 @@ def _norm_residual(parent, y, skip, kind: str, name: str):
 
         g, b = _NormParams(y.shape[-1], name=name, parent=parent)()
         return pnorms.instance_norm_residual(y, g, b, skip)
-    return skip + Norm(kind, name=name, parent=parent)(y)
+    return skip + Norm(kind, name=name, parent=parent)(y)  # batch/none
 
 
 def _norm_relu(parent, y, kind: str, name: str):
@@ -67,7 +67,7 @@ def _norm_relu(parent, y, kind: str, name: str):
         g, b = _NormParams(y.shape[-1], name=name, parent=parent)()
         return pnorms.instance_norm_act(y, g, b, jnp.zeros((1,), jnp.float32),
                                         "relu")
-    return jax.nn.relu(Norm(kind, name=name, parent=parent)(y))
+    return jax.nn.relu(Norm(kind, name=name, parent=parent)(y))  # batch/none
 
 
 def _upscale_times(factor: int) -> int:

@@ -162,6 +162,32 @@ def _on_tpu() -> bool:
         return False
 
 
+def batch_norm_act(x, gamma, beta, alpha, act: str = "none",
+                   eps: float = 1e-5):
+    """Stateless batch norm + activation: statistics over (N,H,W).
+
+    The reference trains BatchNorm per batch (Keras training mode); this
+    is that semantics without running averages — a pure function, so the
+    fused jitted GAN steps stay state-free. At N=1 it coincides with
+    instance norm. A compatibility path, not the hot path: plain jnp
+    stats (fully differentiable), XLA fuses the elementwise epilogue.
+    """
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=(0, 1, 2))                   # [C]
+    var = jnp.mean(lax.square(xf), axis=(0, 1, 2)) - lax.square(m)
+    inv = lax.rsqrt(var + eps)
+    scale = (gamma * inv).astype(x.dtype)
+    shift = (beta - m * gamma * inv).astype(x.dtype)
+    y = x * scale + shift
+    if act == "relu":
+        y = jnp.maximum(y, 0)
+    elif act == "leaky":
+        y = jnp.where(y >= 0, y, alpha.reshape(()).astype(y.dtype) * y)
+    elif act == "prelu":
+        y = jnp.where(y >= 0, y, alpha.astype(y.dtype) * y)
+    return y
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def instance_norm_act(x, gamma, beta, alpha, act: str = "none",
                       eps: float = 1e-5):

@@ -50,8 +50,9 @@ class ModelConfig:
     filters: int = 64
     res_block_num: int = 16
     dropout_rate: float = 0.0
-    norm: str = "instance"  # {'instance','none'}; reference used BatchNorm —
-    # InstanceNorm is the intentional TPU-native divergence (SURVEY.md §7).
+    norm: str = "instance"  # {'instance','batch','none'}: InstanceNorm is
+    # the TPU-native default (SURVEY.md §7); 'batch' is stateless
+    # per-batch BatchNorm for reference compatibility (no running stats).
     # Inception stage config (train_gan2.py:87-99 parity).
     a_block_type: str = "3path"
     a_block_num: int = 5
