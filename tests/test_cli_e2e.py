@@ -151,3 +151,20 @@ def test_resume_continues(data_root, tmp_path):
     # runs 4 more batches -> step 7
     state, row = cli_mini.main(argv + ["--resume"])
     assert int(state.step) == 7
+
+
+def test_upscale_turbo_e2e(data_root, tmp_path):
+    out = tmp_path / "run"
+    cli_mini.main(_common(data_root, out) + [
+        "-i", "ukiyo-e_fullhd", "-bs", "1", "-oh", "16", "-ow", "16",
+        "-tr", "0.7", "-m", "orig"])
+    lossdir = out / "losses" / "ukiyo" / "mini_orig_mse_x4"
+    res = cli_upscale.main([
+        "-r", str(lossdir), "-i", str(data_root / "images" / "ukiyo-e_1gen"),
+        "-o", str(tmp_path / "outframes_turbo"), "--turbo",
+        "--frame-height", "12", "--frame-width", "16",
+        "--tile-height", "8", "--tile-width", "8", "--overlap", "2",
+        "--max-frames", "1"])
+    assert res["frames"] == 1
+    img = Image.open(next((tmp_path / "outframes_turbo").iterdir()))
+    assert img.size == (64, 48)
