@@ -112,11 +112,6 @@ class _AlphaParams(nn.Module):
                           jnp.float32)
 
 
-_LEAKY01 = jnp.full((1,), 0.1, jnp.float32)
-_LEAKY02 = jnp.full((1,), 0.2, jnp.float32)
-_NOALPHA = jnp.zeros((1,), jnp.float32)
-
-
 class _TransposeConvParams(nn.Module):
     """Bare kernel/bias params with nn.ConvTranspose-compatible tree."""
 
