@@ -168,3 +168,17 @@ def test_upscale_turbo_e2e(data_root, tmp_path):
     assert res["frames"] == 1
     img = Image.open(next((tmp_path / "outframes_turbo").iterdir()))
     assert img.size == (64, 48)
+
+
+def test_batch_norm_checkpoints_are_train_only(tmp_path):
+    # norm='batch' has no running averages, so inference CLIs must refuse
+    # such checkpoints (VERDICT.md round-1 item 8).
+    import pytest
+
+    from video_cycle_gan_upscaling_tpu.cli.common import reject_batch_norm_inference
+    from video_cycle_gan_upscaling_tpu.utils.config import ModelConfig, RunConfig
+
+    cfg = RunConfig(model=ModelConfig(norm="batch"))
+    with pytest.raises(SystemExit, match="train-only"):
+        reject_batch_norm_inference(cfg)
+    reject_batch_norm_inference(RunConfig(model=ModelConfig(norm="instance")))

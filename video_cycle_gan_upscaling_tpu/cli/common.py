@@ -36,6 +36,25 @@ from video_cycle_gan_upscaling_tpu.utils.config import (
 from video_cycle_gan_upscaling_tpu.utils.logging import LossLog, ProgressTracker
 
 
+def reject_batch_norm_inference(cfg: RunConfig) -> None:
+    """Refuse eval/inference on a norm='batch' checkpoint.
+
+    norm='batch' trains with stateless per-batch statistics and keeps no
+    running averages (ops/pallas/norms.py batch_norm_act), so eval-mode /
+    batch-size-1 inference cannot reproduce what the reference's Keras
+    BatchNorm would do with its moving averages — the statistics would
+    come from the inference batch itself. Train with the default
+    norm='instance' for checkpoints meant for inference (CLAUDE.md
+    conventions; VERDICT.md round-1 item 8).
+    """
+    if cfg.model.norm == "batch":
+        raise SystemExit(
+            "norm='batch' checkpoints are train-only: batch norm is "
+            "stateless per-batch statistics (no running averages), so "
+            "inference statistics would come from the inference batch, "
+            "not training data. Retrain with --norm instance (default).")
+
+
 def build_parser(family: str, defaults: Optional[dict] = None) -> argparse.ArgumentParser:
     d = {
         "image_input_dir": "ukiyo-e_fullhd", "subdir": "ukiyo",

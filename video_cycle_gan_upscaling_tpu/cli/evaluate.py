@@ -40,6 +40,9 @@ from video_cycle_gan_upscaling_tpu.video.tiles import make_tiled_upscaler
 
 def _load_model(args):
     cfg = RunConfig.load(os.path.join(args.run_dir, "parameters.json"))
+    from video_cycle_gan_upscaling_tpu.cli.common import reject_batch_norm_inference
+
+    reject_batch_norm_inference(cfg)
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32

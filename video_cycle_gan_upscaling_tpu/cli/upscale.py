@@ -49,6 +49,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = RunConfig.load(os.path.join(args.run_dir, "parameters.json"))
+    from video_cycle_gan_upscaling_tpu.cli.common import reject_batch_norm_inference
+
+    reject_batch_norm_inference(cfg)
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from video_cycle_gan_upscaling_tpu.models.blocks import Norm, _NormParams, conv
+from video_cycle_gan_upscaling_tpu.ops import nn as vops
 from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
 
 _SLOPE01 = jnp.full((1,), 0.1, jnp.float32)
@@ -31,11 +32,8 @@ def _norm_leaky(parent, y, kind: str, name: str, slope):
         fn = (pnorms.instance_norm_act if kind == "instance"
               else pnorms.batch_norm_act)
         return fn(y, g, b, slope, "leaky")
-    from video_cycle_gan_upscaling_tpu.ops import nn as _vops
-
-    return _vops.leaky_relu(Norm(kind, name=name, parent=parent)(y),
-                            float(slope[0]))
-from video_cycle_gan_upscaling_tpu.ops import nn as vops
+    return vops.leaky_relu(Norm(kind, name=name, parent=parent)(y),
+                           float(slope[0]))
 
 
 def output_activation(x, kind: str):

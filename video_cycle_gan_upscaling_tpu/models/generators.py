@@ -80,12 +80,15 @@ def _upscale_times(factor: int) -> int:
 class UpscalerOrig(nn.Module):
     """SRGAN-style ResNet upscaler (model.py:267-295).
 
-    ``phase_tail=True`` (default) evaluates the whole upsampling tail —
-    transpose convs, LeakyReLUs and the final 9x9 conv — on the LR grid in
+    ``phase_tail=True`` evaluates the whole upsampling tail — transpose
+    convs, LeakyReLUs and the final 9x9 conv — on the LR grid in
     phase-packed channel space with one depth_to_space at the end
     (ops/subpixel.py). Bit-compatible params and outputs with the pixel
     path; on TPU it avoids XLA's input-dilation transpose-conv lowering
-    and lifts the 3-output-lane final conv to 3*S^2 MXU lanes.
+    and lifts the 3-output-lane final conv to 3*S^2 MXU lanes. Default is
+    False because the phase graph's gather/scatter autodiff compiles
+    slowly — training graphs keep the pixel tail, inference graphs
+    (bench, upscale CLI, entry()) enable it.
     """
 
     kernel_size: int = 5

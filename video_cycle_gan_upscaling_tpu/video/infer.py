@@ -68,6 +68,8 @@ def upscale_clip(apply_fn: Callable, params, source, sink=None,
     return {
         "frames": n,
         "seconds": seconds,
-        "fps": (timed / seconds) if seconds > 0 else float("nan"),
+        # 0.0 (not NaN) when nothing was timed: NaN is invalid strict JSON
+        # and the upscale CLI json.dumps's this dict
+        "fps": (timed / seconds) if seconds > 0 else 0.0,
         "first_frame": first_out,
     }
