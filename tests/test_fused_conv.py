@@ -1,0 +1,164 @@
+"""Fused conv+instance-norm kernel: exactness of every variant against an
+HR-space lax.conv oracle (pallas interpret mode on CPU + the pure-XLA
+fallback), plus end-to-end FastOrigRunner parity with UpscalerOrig."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from video_cycle_gan_upscaling_tpu.ops.pallas import fused_conv as fc
+from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
+
+N, H, W, C = 2, 12, 16, 8
+PACK = 2
+WP, CP = W // PACK, C * PACK
+K = 5
+KEY = jax.random.PRNGKey(0)
+
+
+def _mk(key, shape, scale=1.0):
+    return (jax.random.normal(key, shape, jnp.float32) * scale)
+
+
+X = _mk(KEY, (N, H, W, C), 0.7)
+WK = _mk(jax.random.PRNGKey(1), (K, K, C, C), 0.2)
+RES = _mk(jax.random.PRNGKey(2), (N, H, W, C), 0.5)
+SC = _mk(jax.random.PRNGKey(3), (N, C), 0.3) + 1.0
+SH = _mk(jax.random.PRNGKey(4), (N, C), 0.2)
+AL = jnp.abs(_mk(jax.random.PRNGKey(5), (C,), 0.2))
+
+
+def _pack(v):
+    return v.reshape(N, H, WP, CP)
+
+
+def _hr_oracle(x, w, pre, act, scale, shift, alpha, res):
+    """Reference in HR space: pre-op -> SAME conv -> stats."""
+    z = x.astype(jnp.float32)
+    if pre != "none":
+        z = z * scale[:, None, None, :] + shift[:, None, None, :]
+        if act == "prelu":
+            z = jnp.where(z < 0, alpha * z, z)
+        if pre == "affine_res":
+            z = z + res
+    y = lax.conv_general_dilated(z, w, (1, 1), "SAME",
+                                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    stats = jnp.stack([jnp.sum(y, axis=(1, 2)),
+                       jnp.sum(y * y, axis=(1, 2))], axis=1)
+    return z, y, stats
+
+
+def _unpack_scale(v):
+    return jnp.tile(v, (1, PACK))
+
+
+@pytest.mark.parametrize("interpret", [True, False])
+@pytest.mark.parametrize("variant", ["none", "affine_act", "affine_res"])
+def test_fused_variants_match_oracle(variant, interpret):
+    w5, pads = fc.pack_conv_kernel(WK, PACK)
+    kw = dict(pads=pads, interpret=interpret)
+    if variant == "none":
+        out = fc.fused_conv_stats(_pack(X), w5, **kw)
+        y, stats = out
+        hs = None
+    elif variant == "affine_act":
+        out = fc.fused_conv_stats(_pack(X), w5, pre="affine_act",
+                                  act="prelu", scale=_unpack_scale(SC),
+                                  shift=_unpack_scale(SH),
+                                  alpha=jnp.tile(AL, PACK), **kw)
+        y, stats = out
+        hs = None
+    else:
+        out = fc.fused_conv_stats(_pack(X), w5, pre="affine_res",
+                                  scale=_unpack_scale(SC),
+                                  shift=_unpack_scale(SH),
+                                  res=_pack(RES), **kw)
+        y, hs, stats = out
+
+    z_ref, y_ref, st_ref = _hr_oracle(
+        X, WK, variant, "prelu" if variant == "affine_act" else "none",
+        SC, SH, AL, RES)
+
+    y_hr = np.asarray(y, np.float32).reshape(N, H, W, C)
+    np.testing.assert_allclose(y_hr, np.asarray(y_ref), rtol=0.05, atol=0.05)
+    # fold packed stats back to per-channel and compare
+    s1 = np.asarray(stats[:, 0]).reshape(N, PACK, C).sum(1)
+    s2 = np.asarray(stats[:, 1]).reshape(N, PACK, C).sum(1)
+    np.testing.assert_allclose(s1, np.asarray(st_ref[:, 0]), rtol=0.02,
+                               atol=0.5)
+    np.testing.assert_allclose(s2, np.asarray(st_ref[:, 1]), rtol=0.02,
+                               atol=0.5)
+    if hs is not None:
+        hs_hr = np.asarray(hs, np.float32).reshape(N, H, W, C)
+        np.testing.assert_allclose(hs_hr, np.asarray(z_ref), rtol=0.02,
+                                   atol=0.02)
+
+
+@pytest.mark.parametrize("interpret", [True, False])
+def test_fused_quant_matches_xla_emulation(interpret):
+    """int8 path: pallas kernel == the XLA int-conv emulation exactly
+    (same quantization), and close to the f32 conv."""
+    w5q, pads = fc.pack_conv_kernel(WK, PACK, quant=True)
+    args = dict(pre="affine_act", act="prelu", scale=_unpack_scale(SC),
+                shift=_unpack_scale(SH), alpha=jnp.tile(AL, PACK),
+                quant=True, pads=pads)
+    y_p, st_p = fc.fused_conv_stats(_pack(X), w5q, interpret=interpret,
+                                    **args)
+    y_r, st_r = fc._reference(_pack(X), w5q, alpha=jnp.tile(AL, PACK),
+                              scale=_unpack_scale(SC),
+                              shift=_unpack_scale(SH), res=None,
+                              pre="affine_act", act="prelu", quant=True,
+                              pads=pads)
+    np.testing.assert_allclose(np.asarray(y_p, np.float32),
+                               np.asarray(y_r, np.float32), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(st_p), np.asarray(st_r),
+                               rtol=1e-6, atol=1e-3)
+
+
+def test_stats_to_scale_shift_matches_instance_norm():
+    w5, pads = fc.pack_conv_kernel(WK, PACK)
+    y, stats = fc.fused_conv_stats(_pack(X), w5, pads=pads, interpret=True)
+    g = _mk(jax.random.PRNGKey(6), (C,), 0.3) + 1.0
+    b = _mk(jax.random.PRNGKey(7), (C,), 0.2)
+    scale, shift = fc.stats_to_scale_shift(stats, g, b, PACK, H * W)
+    y_hr = np.asarray(y, np.float32).reshape(N, H, W, C)
+    got = y_hr * np.asarray(scale)[:, None, None, :C][..., :C] + \
+        np.asarray(shift)[:, None, None, :C]
+    from video_cycle_gan_upscaling_tpu.ops.nn import instance_norm
+
+    ref = instance_norm(jnp.asarray(y_hr), g, b)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=0.02, atol=0.02)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_fast_orig_runner_matches_model(quant):
+    """FastOrigRunner (interpret-mode kernels) vs UpscalerOrig.apply."""
+    from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
+    from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
+
+    model = UpscalerOrig(kernel_size=5, filters=8, upscale_factor=4,
+                         res_block_num=2, dtype=jnp.float32, phase_tail=True)
+    x = _mk(jax.random.PRNGKey(8), (1, 12, 16, 3), 0.5)
+    variables = model.init(jax.random.PRNGKey(9), x)
+    ref = model.apply(variables, x)
+
+    pnorms.INTERPRET = True
+    try:
+        runner = FastOrigRunner(variables["params"], res_block_num=2,
+                                upscale_factor=4, tile_hw=(12, 16),
+                                quant=quant, dtype=jnp.float32)
+        got = runner.apply(runner.qp, x)
+    finally:
+        pnorms.INTERPRET = False
+    assert got.shape == ref.shape
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(ref, np.float32))
+    if quant:
+        # lossy int8 trunk: demand high PSNR instead of elementwise match
+        mse = float(np.mean((np.asarray(got, np.float32)
+                             - np.asarray(ref, np.float32)) ** 2))
+        psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
+        assert psnr > 35.0, psnr
+    else:
+        assert float(err.max()) < 0.05, float(err.max())

@@ -1,0 +1,214 @@
+"""Fused-kernel inference runner for the flagship UpscalerOrig.
+
+Same outputs as ``UpscalerOrig.apply`` (phase_tail semantics), rebuilt for
+inference speed of light (VERDICT.md round-1 items 2-3):
+
+- the whole 16-block trunk runs W-packed at 128 lanes through the fused
+  conv+instance-norm Pallas kernel (ops/pallas/fused_conv.py): one kernel
+  per conv, with the previous layer's norm apply / PReLU / residual add
+  fused in as a VMEM pre-op — a norm never touches HBM as its own pass;
+- trunk conv biases are dropped (per-channel bias cancels in instance
+  norm — ops/quant.py invariance note);
+- every phase-space tail kernel (transpose convs + final 9x9) is
+  rearranged ONCE at prepack time instead of gather-rebuilt inside every
+  jitted forward;
+- ``quant='int8'`` runs the trunk convs W8A8 on the MXU (v5e ~2x bf16
+  peak) with in-VMEM activation quantization: the residual stream stays
+  bf16 (more accurate than the round-1 turbo's int8 ring), and no int8
+  tensor crosses an HBM boundary (the round-1 relayout tax,
+  docs/PERF.md:76-83).
+
+Reference semantics: make_upscaler_orig
+(/root/reference/upscaling/upscaler/model.py:267-295).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_cycle_gan_upscaling_tpu.ops import nn as vops
+from video_cycle_gan_upscaling_tpu.ops import subpixel as sp
+from video_cycle_gan_upscaling_tpu.ops.pallas import fused_conv as fc
+from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
+from video_cycle_gan_upscaling_tpu.ops.quant import QSCALE
+
+# int8 clip scale for the residual-stream convs (conv_pre inputs): the
+# trunk stream grows ~sqrt(depth), so give it the round-1 RSCALE range.
+RES_QSCALE = 127.0 / 16.0
+
+
+class FastOrigRunner:
+    """Prepacked UpscalerOrig inference: runner = FastOrigRunner(params,...);
+    y = jax.jit(runner.apply)(runner.qp, x). ``qp`` is a pure array pytree
+    (safe to device_put / donate); all shape plans are static attributes.
+    """
+
+    def __init__(self, params: Dict[str, Any], *, res_block_num: int = 16,
+                 upscale_factor: int = 4, tile_hw: Tuple[int, int],
+                 filters: Optional[int] = None, quant: bool = False,
+                 dtype=jnp.bfloat16):
+        c = filters or params["initial_conv"]["kernel"].shape[-1]
+        self.filters = c
+        self.res_block_num = res_block_num
+        self.quant = quant
+        self.dtype = dtype
+        self.times = int(math.log2(upscale_factor))
+        assert 2 ** self.times == upscale_factor
+
+        # --- packing geometry (static, from the tile shape) --------------
+        h, w = tile_hw
+        pack = max(1, 128 // c)
+        while pack > 1 and w % pack:
+            pack //= 2
+        self.pack = pack
+        self.cp = c * pack
+        self.hw = h * w
+
+        qp: Dict[str, Any] = {
+            "stem_w": params["initial_conv"]["kernel"].astype(dtype),
+            "stem_b": params["initial_conv"]["bias"],
+            "stem_alpha": params["initial_prelu"]["alpha"],
+        }
+        self.pads: Dict[str, Tuple[int, int]] = {}
+
+        def pack_w(tag, kern):
+            mat, pads = fc.pack_conv_kernel(kern, pack, quant=quant)
+            qp[tag] = mat
+            self.pads[tag] = pads
+
+        def tile_c(v):
+            return jnp.tile(v.astype(jnp.float32), pack)
+
+        for i in range(res_block_num):
+            blk = params[f"res_block_{i}"]
+            pack_w(f"w_pre_{i}", blk["conv_pre"]["kernel"])
+            pack_w(f"w_post_{i}", blk["conv_post"]["kernel"])
+            qp[f"g1_{i}"] = blk["norm_pre"]["scale"].astype(jnp.float32)
+            qp[f"b1_{i}"] = blk["norm_pre"]["bias"].astype(jnp.float32)
+            qp[f"alpha_{i}"] = tile_c(blk["prelu"]["alpha"])
+            qp[f"g2_{i}"] = blk["norm_post"]["scale"].astype(jnp.float32)
+            qp[f"b2_{i}"] = blk["norm_post"]["bias"].astype(jnp.float32)
+        pack_w("w_prefinal", params["prefinal_conv"]["kernel"])
+        qp["g_pf"] = params["prefinal_norm"]["scale"].astype(jnp.float32)
+        qp["b_pf"] = params["prefinal_norm"]["bias"].astype(jnp.float32)
+
+        # --- prepacked phase tail ----------------------------------------
+        self.up_plans = []
+        r = 1
+        for i in range(self.times):
+            up = params[f"upscale_{i}"]["conv_transp"]
+            wk, plan = sp.prepack_transpose_phase(up["kernel"], 2, r)
+            qp[f"up_w_{i}"] = wk.astype(dtype)
+            qp[f"up_b_{i}"] = up["bias"]
+            self.up_plans.append(plan)
+            r *= 2
+        self.r = r
+        extra = 1
+        for e in (4, 2):
+            if (h % (r * e) == 0 if r * e > 1 else True) and h % e == 0 and w % e == 0:
+                extra = e
+                break
+        wk, plan = sp.prepack_same_phase_blocked(
+            params["final_conv"]["kernel"], r, extra)
+        qp["final_w"] = wk.astype(dtype)
+        qp["final_b"] = params["final_conv"]["bias"]
+        self.final_plan = plan
+        self.extra = extra
+        self.qp = qp
+
+    # ------------------------------------------------------------- apply
+    def apply(self, qp: Dict[str, Any], x: jax.Array) -> jax.Array:
+        """[N,H,W,3] in [-1,1] -> [N,H*f,W*f,3]; jit me."""
+        n, h, w, _ = x.shape
+        c, cp, pack = self.filters, self.cp, self.pack
+        dt = self.dtype
+        hw = h * w
+        quant = self.quant
+
+        y = vops.same_conv(x.astype(dt), qp["stem_w"], qp["stem_b"])
+        y = vops.prelu(y, qp["stem_alpha"])
+        h0 = y.reshape(n, h, w // pack, cp)  # packed trunk input
+
+        if quant:
+            # dynamic per-tensor scale for the (un-normalized) stem output
+            sx = jnp.maximum(jnp.max(jnp.abs(h0.astype(jnp.float32))), 1e-8)
+            s_row = jnp.full((n, cp), 1.0, jnp.float32) * (
+                (127.0 / sx) / RES_QSCALE)
+            a, st = fc.fused_conv_stats(
+                h0, qp["w_pre_0"], pads=self.pads["w_pre_0"],
+                pre="affine_act", act="none", scale=s_row,
+                shift=jnp.zeros((n, cp), jnp.float32),
+                quant=True, qscale=RES_QSCALE)
+        else:
+            a, st = fc.fused_conv_stats(h0, qp["w_pre_0"],
+                                        pads=self.pads["w_pre_0"])
+
+        hs = h0  # residual stream (bf16, packed)
+        for i in range(self.res_block_num):
+            s1, t1 = fc.stats_to_scale_shift(st, qp[f"g1_{i}"],
+                                             qp[f"b1_{i}"], pack, hw)
+            b_raw, st2 = fc.fused_conv_stats(
+                a, qp[f"w_post_{i}"], pads=self.pads[f"w_post_{i}"],
+                pre="affine_act", act="prelu", scale=s1, shift=t1,
+                alpha=qp[f"alpha_{i}"], quant=quant, qscale=QSCALE)
+            s2, t2 = fc.stats_to_scale_shift(st2, qp[f"g2_{i}"],
+                                             qp[f"b2_{i}"], pack, hw)
+            nxt = (f"w_pre_{i + 1}" if i + 1 < self.res_block_num
+                   else "w_prefinal")
+            a, hs, st = fc.fused_conv_stats(
+                b_raw, qp[nxt], pads=self.pads[nxt],
+                pre="affine_res", scale=s2, shift=t2, res=hs,
+                quant=quant, qscale=RES_QSCALE)
+
+        # prefinal norm apply + global skip (one fused pass)
+        sp_, tp_ = fc.stats_to_scale_shift(st, qp["g_pf"], qp["b_pf"],
+                                           pack, hw)
+        y = _apply_res(a, h0, sp_, tp_)
+        y = y.reshape(n, h, w, c).astype(dt)  # unpack to canonical r=1
+
+        r = 1
+        for i in range(self.times):
+            y = sp.transpose_conv_phase_packed(y, qp[f"up_w_{i}"],
+                                               self.up_plans[i],
+                                               qp[f"up_b_{i}"])
+            y = vops.leaky_relu(y, 0.2)
+            r *= 2
+        yp = sp.conv_same_phase_blocked_packed(y, qp["final_w"],
+                                               self.final_plan,
+                                               qp["final_b"])
+        yp = jnp.tanh(yp.astype(jnp.float32))
+        return sp.depth_to_space(yp, r * self.extra)
+
+    def __call__(self, qp, x):
+        return self.apply(qp, x)
+
+
+def _apply_res(x, res, scale, shift):
+    """y = x*scale + shift + res on packed tensors (Pallas on TPU)."""
+    use_pallas = fc._HAVE_PALLAS and (pnorms._on_tpu() or pnorms.INTERPRET)
+    if use_pallas:
+        return pnorms._apply_res_pallas(x, res, scale, shift)
+    return (x.astype(jnp.float32) * scale[:, None, None, :]
+            + shift[:, None, None, :]
+            + res.astype(jnp.float32)).astype(x.dtype)
+
+
+def make_fast_orig(params, cfg_model, upscale_factor: int,
+                   tile_hw: Tuple[int, int], quant: bool = False,
+                   dtype=jnp.bfloat16):
+    """(apply_fn, qp) pair for the tiled-inference harness; falls back to
+    None when the fused path doesn't support the config (caller keeps the
+    modular path)."""
+    h, w = tile_hw
+    ok = (cfg_model.norm == "instance" and h % 2 == 0 and w % 2 == 0)
+    if not ok:
+        return None
+    runner = FastOrigRunner(
+        params, res_block_num=cfg_model.res_block_num,
+        upscale_factor=upscale_factor, tile_hw=tile_hw,
+        filters=cfg_model.filters, quant=quant, dtype=dtype)
+    return runner

@@ -177,22 +177,33 @@ def _same_axis_index_map(placements, s: int, n: int, k: int) -> np.ndarray:
     return idx
 
 
-def _rearrange_same_kernel(w: jax.Array, s: int, P_y: int | None = None,
-                           P_x: int | None = None):
+def rearrange_same_kernel_axes(w: jax.Array, s_y: int, s_x: int,
+                               P_y: int | None = None,
+                               P_x: int | None = None):
     """[k,k,C,O] HR conv kernel (left pads P_y/P_x, default SAME) -> phase
-    kernel [ny,nx,C*s*s,O*s*s] + padding info. Single-gather construction."""
+    kernel [ny,nx,C*s_y*s_x,O*s_y*s_x] + padding info, with independent
+    per-axis phase factors (s_y=1 leaves the H axis unpacked — the layout
+    used by the fused trunk kernels, which pack W only). Single-gather
+    construction; channel order (cy*s_x + cx)*C + c on both sides."""
     k_y, k_x, c_in, c_out = w.shape
-    pl_y, t0_y, n_y = _same_phase_axis(k_y, s, P_y)
-    pl_x, t0_x, n_x = _same_phase_axis(k_x, s, P_x)
-    iy = _same_axis_index_map(pl_y, s, n_y, k_y)  # [ay, cy, vy]
-    ix = _same_axis_index_map(pl_x, s, n_x, k_x)  # [bx, cx, vx]
+    pl_y, t0_y, n_y = _same_phase_axis(k_y, s_y, P_y)
+    pl_x, t0_x, n_x = _same_phase_axis(k_x, s_x, P_x)
+    iy = _same_axis_index_map(pl_y, s_y, n_y, k_y)  # [ay, cy, vy]
+    ix = _same_axis_index_map(pl_x, s_x, n_x, k_x)  # [bx, cx, vx]
     w_pad = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
     # g[ay, cy, vy, bx, cx, vx, C, O]
     g = w_pad[iy[:, :, :, None, None, None], ix[None, None, None, :, :, :]]
     # -> [vy, vx, cy, cx, C, ay, bx, O]
     g = g.transpose(2, 5, 1, 4, 6, 0, 3, 7)
-    wp = g.reshape(n_y, n_x, s * s * c_in, s * s * c_out)
+    wp = g.reshape(n_y, n_x, s_y * s_x * c_in, s_y * s_x * c_out)
     return wp, (-t0_y, n_y - 1 + t0_y), (-t0_x, n_x - 1 + t0_x)
+
+
+def _rearrange_same_kernel(w: jax.Array, s: int, P_y: int | None = None,
+                           P_x: int | None = None):
+    """[k,k,C,O] HR conv kernel (left pads P_y/P_x, default SAME) -> phase
+    kernel [ny,nx,C*s*s,O*s*s] + padding info. Single-gather construction."""
+    return rearrange_same_kernel_axes(w, s, s, P_y, P_x)
 
 
 def conv_same_phase(x_phase: jax.Array, w: jax.Array,
@@ -230,28 +241,67 @@ def renest_phases(x: jax.Array, r: int, t: int, c_out: int) -> jax.Array:
     return y.reshape(n, h, w_, r * t * r * t * c_out)
 
 
+def prepack_transpose_phase(w: jax.Array, stride: int, r: int):
+    """Precompute the phase kernel + static plan for transpose_conv_phase.
+
+    Run OUTSIDE jit: the kernel-rearrangement gathers constant-fold to a
+    plain array once instead of re-running inside every jitted forward
+    (a dominant cost of the round-1 tail, docs/PERF.md "glue").
+    Returns (kernel_array, plan) with plan = (pads, renest, r, stride).
+    """
+    c_out = w.shape[-1]
+    wp, (q_y, q_x), (n_y, n_x) = _rearrange_transpose_kernel(w, stride)
+    if r == 1:
+        pads = ((q_y, n_y - 1 - q_y), (q_x, n_x - 1 - q_x))
+        return wp, (pads, None, r, stride)
+    wpp, (py_l, py_h), (px_l, px_h) = _rearrange_same_kernel(
+        wp, r, P_y=q_y, P_x=q_x)
+    return wpp, (((py_l, py_h), (px_l, px_h)), (r, stride, c_out), r, stride)
+
+
+def transpose_conv_phase_packed(x_phase: jax.Array, wk: jax.Array, plan,
+                                b: jax.Array | None = None) -> jax.Array:
+    """Apply a prepack_transpose_phase kernel (plan is static)."""
+    pads, renest, r, stride = plan
+    y = lax.conv_general_dilated(x_phase, wk.astype(x_phase.dtype), (1, 1),
+                                 pads, dimension_numbers=CONV_DIMS)
+    if renest is not None:
+        y = renest_phases(y, *renest)
+    if b is not None:
+        y = y + jnp.tile(b, r * stride * r * stride).astype(y.dtype)
+    return y
+
+
 def transpose_conv_phase(x_phase: jax.Array, w: jax.Array,
                          b: jax.Array | None, stride: int, r: int) -> jax.Array:
     """Conv2DTranspose(stride, SAME) applied at resolution r*LR, consumed
     and produced in phase space (canonical layouts r -> r*stride)."""
-    c_out = w.shape[-1]
-    wp, (q_y, q_x), (n_y, n_x) = _rearrange_transpose_kernel(w, stride)
-    if r == 1:
-        y = lax.conv_general_dilated(
-            x_phase, wp.astype(x_phase.dtype), (1, 1),
-            ((q_y, n_y - 1 - q_y), (q_x, n_x - 1 - q_x)),
-            dimension_numbers=CONV_DIMS)
-        # layout is already canonical stride-phase blocks of c_out
-    else:
-        wpp, (py_l, py_h), (px_l, px_h) = _rearrange_same_kernel(
-            wp, r, P_y=q_y, P_x=q_x)
-        y = lax.conv_general_dilated(
-            x_phase, wpp.astype(x_phase.dtype), (1, 1),
-            ((py_l, py_h), (px_l, px_h)),
-            dimension_numbers=CONV_DIMS)
-        y = renest_phases(y, r, stride, c_out)
+    wk, plan = prepack_transpose_phase(w, stride, r)
+    return transpose_conv_phase_packed(x_phase, wk, plan, b)
+
+
+def prepack_same_phase_blocked(w: jax.Array, r: int, extra_block: int = 1):
+    """Precompute the phase kernel + static plan for
+    conv_same_phase_blocked (run OUTSIDE jit — see prepack_transpose_phase).
+    """
+    S = r * extra_block
+    wp, (py_l, py_h), (px_l, px_h) = _rearrange_same_kernel(w, S)
+    return wp, (((py_l, py_h), (px_l, px_h)), r, extra_block, w.shape[-1])
+
+
+def conv_same_phase_blocked_packed(x_phase: jax.Array, wk: jax.Array, plan,
+                                   b: jax.Array | None = None) -> jax.Array:
+    """Apply a prepack_same_phase_blocked kernel (plan is static)."""
+    pads, r, extra_block, c_out = plan
+    S = r * extra_block
+    if extra_block > 1:
+        x_phase = space_to_depth(x_phase, extra_block)
+        x_phase = renest_phases(x_phase, extra_block, r,
+                                x_phase.shape[-1] // (S * S))
+    y = lax.conv_general_dilated(x_phase, wk.astype(x_phase.dtype), (1, 1),
+                                 pads, dimension_numbers=CONV_DIMS)
     if b is not None:
-        y = y + jnp.tile(b, r * stride * r * stride).astype(y.dtype)
+        y = y + jnp.tile(b, S * S).astype(y.dtype)
     return y
 
 
@@ -263,14 +313,11 @@ def conv_same_phase_blocked(x_phase: jax.Array, w: jax.Array,
     phase conv runs at scale S = r*extra_block — more output lanes for
     few-channel heads (e.g. 9x9 256->3: 3*S^2 lanes instead of 3).
     Returns an S-phase tensor (canonical layout); caller depth_to_space's.
+
+    space_to_depth on the LR grid nests extra phases OUTSIDE the r-phase
+    blocks: channel ((ae*e+be)*r*r + (ar*r+br))*C + c with HR coord
+    = r*(e*i + ae) + ar = S*i + (r*ae + ar) -> canonical via renest with
+    (outer=extra, inner=r).
     """
-    S = r * extra_block
-    if extra_block > 1:
-        # space_to_depth on the LR grid nests extra phases OUTSIDE the
-        # r-phase blocks: channel ((ae*e+be)*r*r + (ar*r+br))*C + c with
-        # HR coord = r*(e*i + ae) + ar = S*i + (r*ae + ar) -> canonical via
-        # renest with (outer=extra, inner=r).
-        x_phase = space_to_depth(x_phase, extra_block)
-        x_phase = renest_phases(x_phase, extra_block, r,
-                                x_phase.shape[-1] // (S * S))
-    return conv_same_phase(x_phase, w, b, stride=S)
+    wk, plan = prepack_same_phase_blocked(w, r, extra_block)
+    return conv_same_phase_blocked_packed(x_phase, wk, plan, b)
