@@ -121,17 +121,18 @@ class FastOrigRunner:
         self.qp = qp
 
     # ------------------------------------------------------------- apply
-    def apply(self, qp: Dict[str, Any], x: jax.Array) -> jax.Array:
-        """[N,H,W,3] in [-1,1] -> [N,H*f,W*f,3]; jit me."""
+    def apply_stem(self, qp: Dict[str, Any], x: jax.Array) -> jax.Array:
         n, h, w, _ = x.shape
-        c, cp, pack = self.filters, self.cp, self.pack
-        dt = self.dtype
-        hw = h * w
-        quant = self.quant
-
-        y = vops.same_conv(x.astype(dt), qp["stem_w"], qp["stem_b"])
+        y = vops.same_conv(x.astype(self.dtype), qp["stem_w"], qp["stem_b"])
         y = vops.prelu(y, qp["stem_alpha"])
-        h0 = y.reshape(n, h, w // pack, cp)  # packed trunk input
+        return y.reshape(n, h, w // self.pack, self.cp)  # packed
+
+    def apply_trunk(self, qp: Dict[str, Any], h0: jax.Array) -> jax.Array:
+        """Packed stem output -> packed trunk output (fused kernels)."""
+        n, h, wp_, cp = h0.shape
+        pack = self.pack
+        hw = h * wp_ * pack
+        quant = self.quant
 
         if quant:
             # dynamic per-tensor scale for the (un-normalized) stem output
@@ -167,9 +168,13 @@ class FastOrigRunner:
         # prefinal norm apply + global skip (one fused pass)
         sp_, tp_ = fc.stats_to_scale_shift(st, qp["g_pf"], qp["b_pf"],
                                            pack, hw)
-        y = _apply_res(a, h0, sp_, tp_)
-        y = y.reshape(n, h, w, c).astype(dt)  # unpack to canonical r=1
+        return _apply_res(a, h0, sp_, tp_)
 
+    def apply_tail(self, qp: Dict[str, Any], trunk: jax.Array) -> jax.Array:
+        """Packed trunk output -> HR image (prepacked phase tail)."""
+        n, h, wp_, cp = trunk.shape
+        y = trunk.reshape(n, h, wp_ * self.pack, self.filters
+                          ).astype(self.dtype)  # unpack to canonical r=1
         r = 1
         for i in range(self.times):
             y = sp.transpose_conv_phase_packed(y, qp[f"up_w_{i}"],
@@ -182,6 +187,10 @@ class FastOrigRunner:
                                                qp["final_b"])
         yp = jnp.tanh(yp.astype(jnp.float32))
         return sp.depth_to_space(yp, r * self.extra)
+
+    def apply(self, qp: Dict[str, Any], x: jax.Array) -> jax.Array:
+        """[N,H,W,3] in [-1,1] -> [N,H*f,W*f,3]; jit me."""
+        return self.apply_tail(qp, self.apply_trunk(qp, self.apply_stem(qp, x)))
 
     def __call__(self, qp, x):
         return self.apply(qp, x)

@@ -123,8 +123,8 @@ def _kernel(*refs, th: int, kh: int, kw: int, pre: str, act: str,
         v = v.astype(jnp.float32)
         if pre == "none":
             return v
-        sc = scale_ref[0, :].astype(jnp.float32)
-        sh = shift_ref[0, :].astype(jnp.float32)
+        sc = scale_ref[0, 0, :].astype(jnp.float32)
+        sh = shift_ref[0, 0, :].astype(jnp.float32)
         z = v * sc + sh
         if act == "relu":
             z = jnp.maximum(z, 0.0)
@@ -270,10 +270,10 @@ def fused_conv_stats(
                      blk(halo_hi, bot_map)]
         args += [res, res, res]
     if pre != "none":
-        vec = pl.BlockSpec((1, cp), lambda ni, i: (ni, 0),
+        vec = pl.BlockSpec((1, 1, cp), lambda ni, i: (ni, 0, 0),
                            memory_space=pltpu.VMEM)
         in_specs += [vec, vec]
-        args += [scale, shift]
+        args += [scale[:, None, :], shift[:, None, :]]
     if act in ("prelu", "leaky"):
         in_specs += [pl.BlockSpec((1, cp), lambda ni, i: (0, 0),
                                   memory_space=pltpu.VMEM)]
