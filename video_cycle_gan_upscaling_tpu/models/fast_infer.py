@@ -97,8 +97,16 @@ class FastOrigRunner:
         qp["b_pf"] = params["prefinal_norm"]["bias"].astype(jnp.float32)
 
         # --- prepacked phase tail ----------------------------------------
+        # block0=2 runs the first transpose conv on a space_to_depth'd
+        # input: K lanes 64 -> 256 on the MXU and the output lands directly
+        # in the final conv's blocked layout (no GB-scale space_to_depth of
+        # the 256-channel HR tensor). Restricted to one-upsample tails; the
+        # padded-tap overhead of blocking grows quadratically with r, so
+        # deeper tails keep the r=1 start.
+        self.block0 = 2 if (self.times == 1 and h % 2 == 0 and w % 2 == 0) \
+            else 1
         self.up_plans = []
-        r = 1
+        r = self.block0
         for i in range(self.times):
             up = params[f"upscale_{i}"]["conv_transp"]
             wk, plan = sp.prepack_transpose_phase(up["kernel"], 2, r)
@@ -107,11 +115,13 @@ class FastOrigRunner:
             self.up_plans.append(plan)
             r *= 2
         self.r = r
+        gh, gw = h // self.block0, w // self.block0  # tail grid
         extra = 1
-        for e in (4, 2):
-            if (h % (r * e) == 0 if r * e > 1 else True) and h % e == 0 and w % e == 0:
-                extra = e
-                break
+        if self.block0 == 1:
+            for e in (4, 2):
+                if gh % e == 0 and gw % e == 0:
+                    extra = e
+                    break
         wk, plan = sp.prepack_same_phase_blocked(
             params["final_conv"]["kernel"], r, extra)
         qp["final_w"] = wk.astype(dtype)
@@ -175,7 +185,9 @@ class FastOrigRunner:
         n, h, wp_, cp = trunk.shape
         y = trunk.reshape(n, h, wp_ * self.pack, self.filters
                           ).astype(self.dtype)  # unpack to canonical r=1
-        r = 1
+        if self.block0 > 1:
+            y = sp.space_to_depth(y, self.block0)
+        r = self.block0
         for i in range(self.times):
             y = sp.transpose_conv_phase_packed(y, qp[f"up_w_{i}"],
                                                self.up_plans[i],

@@ -226,6 +226,17 @@ def conv_same_phase(x_phase: jax.Array, w: jax.Array,
 
 
 # --------------------------------------------------------- phase-tail algebra
+def renest_perm(r: int, t: int, c_out: int) -> np.ndarray:
+    """Channel permutation such that renest_phases(x, r, t, c) ==
+    x[..., renest_perm(r, t, c)] — renesting is a pure lane relabeling, so
+    it can be folded into a conv kernel's channel axis at prepack time
+    instead of copying the (potentially GB-scale) activation at runtime."""
+    return (np.arange(r * r * t * t * c_out)
+            .reshape(r, r, t, t, c_out)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(-1))
+
+
 def renest_phases(x: jax.Array, r: int, t: int, c_out: int) -> jax.Array:
     """Flatten a nested phase layout into the canonical one.
 
@@ -253,20 +264,22 @@ def prepack_transpose_phase(w: jax.Array, stride: int, r: int):
     wp, (q_y, q_x), (n_y, n_x) = _rearrange_transpose_kernel(w, stride)
     if r == 1:
         pads = ((q_y, n_y - 1 - q_y), (q_x, n_x - 1 - q_x))
-        return wp, (pads, None, r, stride)
+        return wp, (pads, r, stride)
     wpp, (py_l, py_h), (px_l, px_h) = _rearrange_same_kernel(
         wp, r, P_y=q_y, P_x=q_x)
-    return wpp, (((py_l, py_h), (px_l, px_h)), (r, stride, c_out), r, stride)
+    # fold the canonicalizing renest into the kernel's output channels —
+    # saves a full-activation copy at runtime (renest_perm note)
+    wpp = wpp[..., renest_perm(r, stride, c_out)]
+    return wpp, ((((py_l, py_h), (px_l, px_h))), r, stride)
 
 
 def transpose_conv_phase_packed(x_phase: jax.Array, wk: jax.Array, plan,
                                 b: jax.Array | None = None) -> jax.Array:
-    """Apply a prepack_transpose_phase kernel (plan is static)."""
-    pads, renest, r, stride = plan
+    """Apply a prepack_transpose_phase kernel (plan is static); output is
+    already in the canonical r*stride phase layout."""
+    pads, r, stride = plan
     y = lax.conv_general_dilated(x_phase, wk.astype(x_phase.dtype), (1, 1),
                                  pads, dimension_numbers=CONV_DIMS)
-    if renest is not None:
-        y = renest_phases(y, *renest)
     if b is not None:
         y = y + jnp.tile(b, r * stride * r * stride).astype(y.dtype)
     return y
@@ -280,12 +293,20 @@ def transpose_conv_phase(x_phase: jax.Array, w: jax.Array,
     return transpose_conv_phase_packed(x_phase, wk, plan, b)
 
 
-def prepack_same_phase_blocked(w: jax.Array, r: int, extra_block: int = 1):
+def prepack_same_phase_blocked(w: jax.Array, r: int, extra_block: int = 1,
+                               c_in: int | None = None):
     """Precompute the phase kernel + static plan for
     conv_same_phase_blocked (run OUTSIDE jit — see prepack_transpose_phase).
+    When extra_block > 1, the input-side renest (canonical r-phase
+    space_to_depth'd by extra -> nested) is folded into the kernel's input
+    channels, so runtime needs only the space_to_depth itself.
     """
     S = r * extra_block
     wp, (py_l, py_h), (px_l, px_h) = _rearrange_same_kernel(w, S)
+    if extra_block > 1:
+        cin = c_in if c_in is not None else w.shape[-2]
+        idx = renest_perm(extra_block, r, cin)
+        wp = wp[:, :, np.argsort(idx), :]
     return wp, (((py_l, py_h), (px_l, px_h)), r, extra_block, w.shape[-1])
 
 
@@ -296,8 +317,6 @@ def conv_same_phase_blocked_packed(x_phase: jax.Array, wk: jax.Array, plan,
     S = r * extra_block
     if extra_block > 1:
         x_phase = space_to_depth(x_phase, extra_block)
-        x_phase = renest_phases(x_phase, extra_block, r,
-                                x_phase.shape[-1] // (S * S))
     y = lax.conv_general_dilated(x_phase, wk.astype(x_phase.dtype), (1, 1),
                                  pads, dimension_numbers=CONV_DIMS)
     if b is not None:
