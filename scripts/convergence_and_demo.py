@@ -193,7 +193,7 @@ def main():
     if os.path.isdir(OUT):
         shutil.rmtree(OUT)
     train()
-    prefix = "gan_orig_mse_simple-512_wasserstein_log_x4"
+    prefix = "gan_orig_mse_simple-512_wasserstein_log-sigm_x4"
     lossdir = os.path.join(OUT, "losses", "ukiyo", prefix)
     summarize_losses(lossdir, prefix)
     demo(lossdir)

@@ -75,16 +75,29 @@ def main(argv=None):
                          ext=args.ext)
 
     apply_fn = lambda prm, x: model.apply({"params": prm}, x)
-    if args.turbo:
-        if cfg.model.generator != "orig":
-            raise SystemExit("--turbo supports the 'orig' generator only")
-        from video_cycle_gan_upscaling_tpu.models.quantized import (
-            quantize_orig_params,
-            quantized_orig_apply,
-        )
+    if args.turbo and cfg.model.generator != "orig":
+        raise SystemExit("--turbo supports the 'orig' generator only")
+    if cfg.model.generator == "orig":
+        # fused-kernel inference runner (Pallas conv+IN trunk, prepacked
+        # phase tail; --turbo switches the trunk to W8A8) — ~4x the
+        # modular path on TPU (docs/PERF.md round 2). Falls back to the
+        # modular path for unsupported tile geometries.
+        from video_cycle_gan_upscaling_tpu.models.fast_infer import make_fast_orig
 
-        params = quantize_orig_params(params, cfg.model.res_block_num)
-        apply_fn = lambda prm, x: quantized_orig_apply(prm, x, dtype=dtype)
+        runner = make_fast_orig(params, cfg.model, factor,
+                                (args.tile_height, args.tile_width),
+                                quant=args.turbo, dtype=dtype)
+        if runner is not None:
+            params = runner.qp
+            apply_fn = runner.apply
+        elif args.turbo:
+            from video_cycle_gan_upscaling_tpu.models.quantized import (
+                quantize_orig_params,
+                quantized_orig_apply,
+            )
+
+            params = quantize_orig_params(params, cfg.model.res_block_num)
+            apply_fn = lambda prm, x: quantized_orig_apply(prm, x, dtype=dtype)
 
     result = upscale_clip(
         apply_fn, params, source, sink,
