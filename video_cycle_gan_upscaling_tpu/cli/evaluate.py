@@ -30,7 +30,6 @@ from video_cycle_gan_upscaling_tpu.data import (
 )
 from video_cycle_gan_upscaling_tpu.models import make_generator
 from video_cycle_gan_upscaling_tpu.ops.codec import array_to_image, image_to_array
-from video_cycle_gan_upscaling_tpu.train import create_generator_state
 from video_cycle_gan_upscaling_tpu.train.checkpoint import CheckpointManager
 from video_cycle_gan_upscaling_tpu.utils.config import RunConfig
 from video_cycle_gan_upscaling_tpu.utils.logging import LossLog
@@ -49,10 +48,11 @@ def _load_model(args):
     model = make_generator(cfg.model, cfg.train.downscale_factor, dtype=dtype,
                            phase_tail=(cfg.model.generator == "orig"))
     ckpt = CheckpointManager(args.checkpoint_dir or cfg.run_dirs()["models"])
-    lr0 = np.zeros((1, 32, 32, 3), np.float32)
-    state = create_generator_state(model, jax.random.PRNGKey(0), lr0)
-    state = ckpt.restore_best(state) if args.best else ckpt.restore(state, args.step)
-    return cfg, model, state.params
+    # structure-agnostic restore: GAN/CycleGAN checkpoints store the full
+    # multi-network state; inference only needs the generator params
+    params = ckpt.restore_generator_params(
+        family=cfg.family, best=args.best, step=args.step)
+    return cfg, model, params
 
 
 def main(argv=None):

@@ -17,7 +17,6 @@ import jax
 import numpy as np
 
 from video_cycle_gan_upscaling_tpu.models import make_generator
-from video_cycle_gan_upscaling_tpu.train import create_generator_state
 from video_cycle_gan_upscaling_tpu.train.checkpoint import CheckpointManager
 from video_cycle_gan_upscaling_tpu.utils.config import RunConfig
 from video_cycle_gan_upscaling_tpu.video.infer import upscale_clip
@@ -60,10 +59,9 @@ def main(argv=None):
 
     ckpt_dir = args.checkpoint_dir or cfg.run_dirs()["models"]
     ckpt = CheckpointManager(ckpt_dir)
-    lr0 = np.zeros((1, args.tile_height, args.tile_width, 3), np.float32)
-    state = create_generator_state(model, jax.random.PRNGKey(0), lr0)
-    state = ckpt.restore_best(state) if args.best else ckpt.restore(state, args.step)
-    params = state.params
+    # structure-agnostic restore: works for GAN/CycleGAN checkpoints too
+    params = ckpt.restore_generator_params(
+        family=cfg.family, best=args.best, step=args.step)
 
     frame_hw = (args.frame_height, args.frame_width)
     source = open_source(args.input, size_hw=frame_hw, ext=args.ext)

@@ -113,6 +113,37 @@ class CheckpointManager:
             return self._ckptr.restore(self.best_path, abstract)
         return self._read(self.best_path, target)
 
+    # ------------------------------------------------- structure-agnostic
+    #: where the generator's params live inside each family's train state
+    #: (train/state.py: TrainState, GanTrainState, CycleGanTrainState)
+    GENERATOR_KEY_PATH = {
+        "gan": ("g", "params"), "gan3": ("g", "params"),
+        "cyclegan": ("g_ab", "params"),
+    }
+
+    def restore_raw(self, best: bool = True, step: Optional[int] = None):
+        """Restore a checkpoint as a raw nested dict (no target pytree) —
+        lets inference CLIs read any family's state without rebuilding
+        the discriminators/optimizers that trained it."""
+        if not best and step is None:
+            step = self.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        path = self.best_path if best else self._step_path(step)
+        if self.backend == "orbax":
+            return self._ckptr.restore(path)
+        with open(path, "rb") as fh:
+            return serialization.msgpack_restore(fh.read())
+
+    def restore_generator_params(self, family: str = "train",
+                                 best: bool = True,
+                                 step: Optional[int] = None):
+        """Generator param tree from any trainer family's checkpoint."""
+        raw = self.restore_raw(best=best, step=step)
+        for key in self.GENERATOR_KEY_PATH.get(family, ("params",)):
+            raw = raw[key]
+        return raw
+
     def _gc(self) -> None:
         if not self.max_to_keep:
             return
