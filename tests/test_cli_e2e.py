@@ -113,6 +113,15 @@ def test_train_gan_e2e(data_root, tmp_path):
     assert "loss_disc" in header and "loss_gan_gen" in header
     rows = open(lossdir / f"losses_upscaler_{prefix}.txt").read().strip().split("\n")
     assert len(rows) == 5
+    # inference from a GAN-family checkpoint (GanTrainState on disk; the
+    # loader must extract the generator params — VERDICT r1 follow-up)
+    res = cli_upscale.main([
+        "-r", str(lossdir), "-i", str(data_root / "images" / "ukiyo-e_1gen"),
+        "-o", str(tmp_path / "gan_outframes"),
+        "--frame-height", "12", "--frame-width", "16",
+        "--tile-height", "8", "--tile-width", "8", "--overlap", "2",
+        "--max-frames", "1"])
+    assert res["frames"] == 1
 
 
 def test_train_gan3_e2e(data_root, tmp_path):
