@@ -75,10 +75,13 @@ def bench_tiled_inference():
 
     def measure(tag, batch):
         r, qp = runners[tag]
-        up = make_tiled_upscaler(r.apply, FRAME_HW, TILE_HW, OVERLAP, FACTOR)
         batches = [jax.device_put(jnp.asarray(
             np.random.default_rng(i).uniform(-1, 1, (batch, *FRAME_HW, 3)),
             jnp.float32)) for i in range(4)]
+        if r.tail_quant_ready and not r.tail_calibrated:
+            qp = jax.jit(r.calibrate)(qp, batches[0][:1])
+            runners[tag] = (r, qp)
+        up = make_tiled_upscaler(r.apply, FRAME_HW, TILE_HW, OVERLAP, FACTOR)
         # fetch a scalar each call: block_until_ready is unreliable on the
         # tunneled platform, so force execution via a tiny device->host pull
         probe = jax.jit(lambda p, x: jnp.sum(up.batch(p, x)))

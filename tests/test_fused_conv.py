@@ -166,3 +166,31 @@ def test_fast_orig_runner_matches_model(quant, factor):
         assert psnr > 35.0, psnr
     else:
         assert float(err.max()) < 0.05, float(err.max())
+
+
+def test_fast_orig_runner_int8_tail():
+    """Calibrated W8A8 tail: still high-PSNR vs the reference model."""
+    from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
+    from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
+
+    model = UpscalerOrig(kernel_size=5, filters=8, upscale_factor=2,
+                         res_block_num=2, dtype=jnp.float32, phase_tail=True)
+    x = _mk(jax.random.PRNGKey(8), (1, 12, 16, 3), 0.5)
+    variables = model.init(jax.random.PRNGKey(9), x)
+    ref = model.apply(variables, x)
+
+    pnorms.INTERPRET = True
+    try:
+        runner = FastOrigRunner(variables["params"], res_block_num=2,
+                                upscale_factor=2, tile_hw=(12, 16),
+                                quant=True, dtype=jnp.float32)
+        assert runner.tail_quant_ready
+        qp = runner.calibrate(runner.qp, x)
+        assert runner.tail_calibrated
+        got = runner.apply(qp, x)
+    finally:
+        pnorms.INTERPRET = False
+    mse = float(np.mean((np.asarray(got, np.float32)
+                         - np.asarray(ref, np.float32)) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
+    assert psnr > 30.0, psnr

@@ -88,6 +88,17 @@ def main(argv=None):
         if runner is not None:
             params = runner.qp
             apply_fn = runner.apply
+            if runner.tail_quant_ready:
+                # int8 tail needs activation scales from a real frame:
+                # calibrate on the first source frame, then reopen
+                first = next(iter(open_source(args.input, size_hw=frame_hw,
+                                              ext=args.ext)), None)
+                if first is not None:
+                    tile = np.ascontiguousarray(
+                        first[:args.tile_height, :args.tile_width],
+                        np.float32)[None]
+                    params = jax.jit(runner.calibrate)(
+                        jax.device_put(params), jnp.asarray(tile))
         elif args.turbo:
             from video_cycle_gan_upscaling_tpu.models.quantized import (
                 quantize_orig_params,

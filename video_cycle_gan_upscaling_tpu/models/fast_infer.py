@@ -25,6 +25,8 @@ Reference semantics: make_upscaler_orig
 from __future__ import annotations
 
 import math
+
+import numpy as np
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -116,19 +118,89 @@ class FastOrigRunner:
             r *= 2
         self.r = r
         gh, gw = h // self.block0, w // self.block0  # tail grid
+        w9 = params["final_conv"]["kernel"]
+        self.final_mode = "square"
         extra = 1
-        if self.block0 == 1:
-            for e in (4, 2):
-                if gh % e == 0 and gw % e == 0:
-                    extra = e
-                    break
-        wk, plan = sp.prepack_same_phase_blocked(
-            params["final_conv"]["kernel"], r, extra)
-        qp["final_w"] = wk.astype(dtype)
+        import os as _os
+
+        # asymmetric S=(r,2r) head: folds a free W-pair reshape into the
+        # final conv (output lanes 48->96 of 128 for r=4). Measured on v5e
+        # (scripts A/B): NEUTRAL at batch 8 and a 2x REGRESSION at batch 4
+        # (XLA mishandles the K=8192 [3,2] conv there), so default OFF;
+        # VCGU_ASYM_HEAD=1 re-enables for experiments.
+        asym_ok = _os.environ.get("VCGU_ASYM_HEAD", "0") == "1"
+        if self.block0 == 2 and (gw % 2 == 0) and asym_ok:
+            # The W-pair lane order ((wx, ay, bx, c)) vs the canonical
+            # (r, 2r) order ((ay, r*wx+bx, c)) is a pure channel
+            # permutation, folded into the kernel's input axis.
+            self.final_mode = "asym"
+            c_up = w9.shape[-2]
+            wk, pads_y, pads_x = sp.rearrange_same_kernel_axes(w9, r, 2 * r)
+            j = np.arange(2 * r * r * c_up)
+            wx, rem = j // (r * r * c_up), j % (r * r * c_up)
+            ay, rem = rem // (r * c_up), rem % (r * c_up)
+            bx, c = rem // c_up, rem % c_up
+            k = (ay * (2 * r) + r * wx + bx) * c_up + c
+            wk = wk[:, :, k, :]
+            qp["final_w"] = wk.astype(dtype)
+            self.final_pads = (pads_y, pads_x)
+        else:
+            if self.block0 == 1:
+                for e in (4, 2):
+                    if gh % e == 0 and gw % e == 0:
+                        extra = e
+                        break
+            wk, plan = sp.prepack_same_phase_blocked(w9, r, extra)
+            qp["final_w"] = wk.astype(dtype)
+            self.final_plan = plan
         qp["final_b"] = params["final_conv"]["bias"]
-        self.final_plan = plan
         self.extra = extra
+
+        # --- int8 tail (quant mode, after calibrate()) --------------------
+        # The tail convs are the post-trunk bottleneck; W8A8 doubles their
+        # MXU rate and the big phase intermediate becomes int8 (half HBM).
+        # Weights: symmetric per-out-channel scales on the prepacked phase
+        # kernels. Activations: per-tensor scales measured by calibrate()
+        # on a real frame; until calibrated the tail stays bf16.
+        self.tail_quant_ready = False
+        self.tail_calibrated = False
+        if quant and self.times == 1 and self.final_mode == "square" \
+                and self.extra == 1:
+            def q_oc(wk):
+                amax = jnp.max(jnp.abs(wk), axis=tuple(range(wk.ndim - 1)),
+                               keepdims=True)
+                s = 127.0 / jnp.maximum(amax, 1e-8)
+                q = jnp.clip(jnp.round(wk * s), -127, 127).astype(jnp.int8)
+                return q, (1.0 / s).reshape(-1)
+
+            qp["up_w_0_q"], qp["up_w_0_ws"] = q_oc(qp["up_w_0"].astype(jnp.float32))
+            qp["final_w_q"], qp["final_w_ws"] = q_oc(qp["final_w"].astype(jnp.float32))
+            qp["tail_s0"] = jnp.asarray(0.0, jnp.float32)  # set by calibrate
+            qp["tail_s1"] = jnp.asarray(0.0, jnp.float32)
+            self.tail_quant_ready = True
         self.qp = qp
+
+    # -------------------------------------------------------- calibration
+    def calibrate(self, qp: Dict[str, Any], x: jax.Array) -> Dict[str, Any]:
+        """Measure int8-tail activation scales on a sample batch (quant
+        mode). Returns qp with tail_s0/tail_s1 set; idempotent otherwise."""
+        if not self.tail_quant_ready:
+            return qp
+        trunk = self.apply_trunk(qp, self.apply_stem(qp, x))
+        n, h, wp_, cp = trunk.shape
+        y = trunk.reshape(n, h, wp_ * self.pack, self.filters
+                          ).astype(jnp.float32)
+        y = sp.space_to_depth(y, self.block0)
+        amax0 = jnp.maximum(jnp.max(jnp.abs(y)), 1e-6)
+        y1 = sp.transpose_conv_phase_packed(y, qp["up_w_0"].astype(jnp.float32),
+                                            self.up_plans[0], qp["up_b_0"])
+        y1 = vops.leaky_relu(y1, 0.2)
+        amax1 = jnp.maximum(jnp.max(jnp.abs(y1)), 1e-6)
+        qp = dict(qp)
+        qp["tail_s0"] = (127.0 / amax0).astype(jnp.float32)
+        qp["tail_s1"] = (127.0 / amax1).astype(jnp.float32)
+        self.tail_calibrated = True
+        return qp
 
     # ------------------------------------------------------------- apply
     def apply_stem(self, qp: Dict[str, Any], x: jax.Array) -> jax.Array:
@@ -187,6 +259,8 @@ class FastOrigRunner:
                           ).astype(self.dtype)  # unpack to canonical r=1
         if self.block0 > 1:
             y = sp.space_to_depth(y, self.block0)
+        if self.tail_quant_ready and self.tail_calibrated:
+            return self._tail_int8(qp, y)
         r = self.block0
         for i in range(self.times):
             y = sp.transpose_conv_phase_packed(y, qp[f"up_w_{i}"],
@@ -194,11 +268,50 @@ class FastOrigRunner:
                                                qp[f"up_b_{i}"])
             y = vops.leaky_relu(y, 0.2)
             r *= 2
+        if self.final_mode == "asym":
+            from jax import lax
+
+            n2, gh, gw, cs = y.shape
+            y2 = y.reshape(n2, gh, gw // 2, 2 * cs)  # free W-pair merge
+            yp = lax.conv_general_dilated(
+                y2, qp["final_w"].astype(y2.dtype), (1, 1), self.final_pads,
+                dimension_numbers=sp.CONV_DIMS)
+            yp = yp + jnp.tile(qp["final_b"], 2 * r * r).astype(yp.dtype)
+            yp = jnp.tanh(yp.astype(jnp.float32))
+            return sp.depth_to_space_axes(yp, r, 2 * r)
         yp = sp.conv_same_phase_blocked_packed(y, qp["final_w"],
                                                self.final_plan,
                                                qp["final_b"])
         yp = jnp.tanh(yp.astype(jnp.float32))
         return sp.depth_to_space(yp, r * self.extra)
+
+    def _tail_int8(self, qp: Dict[str, Any], y: jax.Array) -> jax.Array:
+        """W8A8 tail (calibrated): both phase convs on the int8 MXU, the
+        big phase intermediate stored int8 (half HBM traffic). Scales:
+        per-out-channel weight scales ride through the positively-
+        homogeneous LeakyReLU and fold into the elementwise dequant."""
+        from jax import lax
+
+        r = self.block0 * 2
+        s0, s1 = qp["tail_s0"], qp["tail_s1"]
+        q0 = jnp.clip(jnp.round(y.astype(jnp.float32) * s0), -127, 127
+                      ).astype(jnp.int8)
+        pads, _, stride = self.up_plans[0]
+        acc = lax.conv_general_dilated(q0, qp["up_w_0_q"], (1, 1), pads,
+                                       dimension_numbers=sp.CONV_DIMS,
+                                       preferred_element_type=jnp.int32)
+        y1 = acc.astype(jnp.float32) * (qp["up_w_0_ws"] / s0)
+        y1 = y1 + jnp.tile(qp["up_b_0"], r * r).astype(jnp.float32)
+        y1 = vops.leaky_relu(y1, 0.2)
+        q1 = jnp.clip(jnp.round(y1 * s1), -127, 127).astype(jnp.int8)
+        fpads = self.final_plan[0]
+        acc2 = lax.conv_general_dilated(q1, qp["final_w_q"], (1, 1), fpads,
+                                        dimension_numbers=sp.CONV_DIMS,
+                                        preferred_element_type=jnp.int32)
+        yp = acc2.astype(jnp.float32) * (qp["final_w_ws"] / s1)
+        yp = yp + jnp.tile(qp["final_b"], r * r).astype(jnp.float32)
+        yp = jnp.tanh(yp)
+        return sp.depth_to_space(yp, r)
 
     def apply(self, qp: Dict[str, Any], x: jax.Array) -> jax.Array:
         """[N,H,W,3] in [-1,1] -> [N,H*f,W*f,3]; jit me."""

@@ -47,6 +47,16 @@ def depth_to_space(x: jax.Array, s: int) -> jax.Array:
     return x.reshape(n, h * s, w * s, c)
 
 
+def depth_to_space_axes(x: jax.Array, s_y: int, s_x: int) -> jax.Array:
+    """[N,H,W,C*s_y*s_x] -> [N,H*s_y,W*s_x,C] with (a*s_x+b) phase-major
+    layout — the asymmetric-phase generalization of depth_to_space."""
+    n, h, w, cs = x.shape
+    c = cs // (s_y * s_x)
+    x = x.reshape(n, h, w, s_y, s_x, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * s_y, w * s_x, c)
+
+
 def space_to_depth(x: jax.Array, s: int) -> jax.Array:
     """Inverse of depth_to_space (same phase layout)."""
     n, hs, ws, c = x.shape
