@@ -159,13 +159,20 @@ class FastOrigRunner:
         # --- int8 tail (quant mode, after calibrate()) --------------------
         # The tail convs are the post-trunk bottleneck; W8A8 doubles their
         # MXU rate and the big phase intermediate becomes int8 (half HBM).
+        # Structure (differs from the bf16 tail): the transpose conv runs
+        # in the exact r=1 phase form ([3,3,C,4C'] for k=5/s=2 — 1.45x
+        # FLOP padding) instead of the r=2-blocked form ([3,3,4C,16C'] —
+        # 5.8x padding: measured 2.45 padded TFLOP/frame on the flagship,
+        # the int8-tail dominator); the canonicalizing space_to_depth then
+        # runs on the int8 phase tensor, and the final conv is prepacked
+        # with (r=2, extra_block=2) so that s2d IS its expected layout.
         # Weights: symmetric per-out-channel scales on the prepacked phase
         # kernels. Activations: per-tensor scales measured by calibrate()
         # on a real frame; until calibrated the tail stays bf16.
         self.tail_quant_ready = False
         self.tail_calibrated = False
         if quant and self.times == 1 and self.final_mode == "square" \
-                and self.extra == 1:
+                and self.extra == 1 and h % 2 == 0 and w % 2 == 0:
             def q_oc(wk):
                 amax = jnp.max(jnp.abs(wk), axis=tuple(range(wk.ndim - 1)),
                                keepdims=True)
@@ -173,8 +180,13 @@ class FastOrigRunner:
                 q = jnp.clip(jnp.round(wk * s), -127, 127).astype(jnp.int8)
                 return q, (1.0 / s).reshape(-1)
 
-            qp["up_w_0_q"], qp["up_w_0_ws"] = q_oc(qp["up_w_0"].astype(jnp.float32))
-            qp["final_w_q"], qp["final_w_ws"] = q_oc(qp["final_w"].astype(jnp.float32))
+            up_k = params["upscale_0"]["conv_transp"]["kernel"]
+            wk1, self.up_plan_q = sp.prepack_transpose_phase(
+                up_k.astype(jnp.float32), 2, 1)
+            qp["up_w_0_q"], qp["up_w_0_ws"] = q_oc(wk1)
+            wk9, self.final_plan_q = sp.prepack_same_phase_blocked(
+                w9.astype(jnp.float32), 2, 2)
+            qp["final_w_q"], qp["final_w_ws"] = q_oc(wk9)
             qp["tail_s0"] = jnp.asarray(0.0, jnp.float32)  # set by calibrate
             qp["tail_s1"] = jnp.asarray(0.0, jnp.float32)
             self.tail_quant_ready = True
@@ -257,10 +269,10 @@ class FastOrigRunner:
         n, h, wp_, cp = trunk.shape
         y = trunk.reshape(n, h, wp_ * self.pack, self.filters
                           ).astype(self.dtype)  # unpack to canonical r=1
+        if self.tail_quant_ready and self.tail_calibrated:
+            return self._tail_int8(qp, y)  # consumes the r=1 canonical form
         if self.block0 > 1:
             y = sp.space_to_depth(y, self.block0)
-        if self.tail_quant_ready and self.tail_calibrated:
-            return self._tail_int8(qp, y)
         r = self.block0
         for i in range(self.times):
             y = sp.transpose_conv_phase_packed(y, qp[f"up_w_{i}"],
@@ -286,32 +298,36 @@ class FastOrigRunner:
         return sp.depth_to_space(yp, r * self.extra)
 
     def _tail_int8(self, qp: Dict[str, Any], y: jax.Array) -> jax.Array:
-        """W8A8 tail (calibrated): both phase convs on the int8 MXU, the
-        big phase intermediate stored int8 (half HBM traffic). Scales:
-        per-out-channel weight scales ride through the positively-
-        homogeneous LeakyReLU and fold into the elementwise dequant."""
+        """W8A8 tail (calibrated), T1 structure: the transpose conv runs in
+        the exact r=1 phase form (tiny [k-1,k-1,C,4C'] kernel, 1.45x FLOP
+        padding vs 5.8x for the r=2-blocked form), the big phase
+        intermediate is stored int8 (half HBM traffic) and space_to_depth'd
+        in the int8 domain, and the final conv consumes that s2d layout
+        directly (prepacked with r=2, extra_block=2). Scales: per-out-
+        channel weight scales ride through the positively-homogeneous
+        LeakyReLU and fold into the elementwise dequant."""
         from jax import lax
 
-        r = self.block0 * 2
         s0, s1 = qp["tail_s0"], qp["tail_s1"]
         q0 = jnp.clip(jnp.round(y.astype(jnp.float32) * s0), -127, 127
                       ).astype(jnp.int8)
-        pads, _, stride = self.up_plans[0]
+        pads = self.up_plan_q[0]
         acc = lax.conv_general_dilated(q0, qp["up_w_0_q"], (1, 1), pads,
                                        dimension_numbers=sp.CONV_DIMS,
                                        preferred_element_type=jnp.int32)
         y1 = acc.astype(jnp.float32) * (qp["up_w_0_ws"] / s0)
-        y1 = y1 + jnp.tile(qp["up_b_0"], r * r).astype(jnp.float32)
+        y1 = y1 + jnp.tile(qp["up_b_0"], 4).astype(jnp.float32)
         y1 = vops.leaky_relu(y1, 0.2)
         q1 = jnp.clip(jnp.round(y1 * s1), -127, 127).astype(jnp.int8)
-        fpads = self.final_plan[0]
+        q1 = sp.space_to_depth(q1, 2)  # int8: r=2 phase -> blocked layout
+        fpads = self.final_plan_q[0]
         acc2 = lax.conv_general_dilated(q1, qp["final_w_q"], (1, 1), fpads,
                                         dimension_numbers=sp.CONV_DIMS,
                                         preferred_element_type=jnp.int32)
         yp = acc2.astype(jnp.float32) * (qp["final_w_ws"] / s1)
-        yp = yp + jnp.tile(qp["final_b"], r * r).astype(jnp.float32)
+        yp = yp + jnp.tile(qp["final_b"], 16).astype(jnp.float32)
         yp = jnp.tanh(yp)
-        return sp.depth_to_space(yp, r)
+        return sp.depth_to_space(yp, 4)
 
     def apply(self, qp: Dict[str, Any], x: jax.Array) -> jax.Array:
         """[N,H,W,3] in [-1,1] -> [N,H*f,W*f,3]; jit me."""
