@@ -159,13 +159,16 @@ class FastOrigRunner:
         # --- int8 tail (quant mode, after calibrate()) --------------------
         # The tail convs are the post-trunk bottleneck; W8A8 doubles their
         # MXU rate and the big phase intermediate becomes int8 (half HBM).
-        # Structure (differs from the bf16 tail): the transpose conv runs
-        # in the exact r=1 phase form ([3,3,C,4C'] for k=5/s=2 — 1.45x
-        # FLOP padding) instead of the r=2-blocked form ([3,3,4C,16C'] —
-        # 5.8x padding: measured 2.45 padded TFLOP/frame on the flagship,
-        # the int8-tail dominator); the canonicalizing space_to_depth then
-        # runs on the int8 phase tensor, and the final conv is prepacked
-        # with (r=2, extra_block=2) so that s2d IS its expected layout.
+        # Structure (x-packed; measured fastest of three tail layouts on
+        # v5e — scripts/tail_ab*.py): W-pairs of the r=1 canonical input
+        # are packed into channels by a free row-major reshape (K lanes
+        # C -> 2C, full 128 at the flagship), and the transpose conv is
+        # prepacked with an s_x=2 axis blocking on top of the exact phase
+        # form — 1.33x FLOP padding vs 5.8x for the full r=2-blocked
+        # kernel. Its output is already x-blocked, so only a free y-axis
+        # space_to_depth (on the int8 tensor) remains before the final
+        # conv, whose S=4 phase kernel gets the (ey,bx,a,b)->canonical
+        # input-channel permutation folded in at prepack.
         # Weights: symmetric per-out-channel scales on the prepacked phase
         # kernels. Activations: per-tensor scales measured by calibrate()
         # on a real frame; until calibrated the tail stays bf16.
@@ -181,12 +184,26 @@ class FastOrigRunner:
                 return q, (1.0 / s).reshape(-1)
 
             up_k = params["upscale_0"]["conv_transp"]["kernel"]
-            wk1, self.up_plan_q = sp.prepack_transpose_phase(
-                up_k.astype(jnp.float32), 2, 1)
+            c_up = up_k.shape[-1]
+            wp, (q_y, q_x), _ = sp._rearrange_transpose_kernel(
+                up_k.astype(jnp.float32), 2)
+            wk1, pads_y1, pads_x1 = sp.rearrange_same_kernel_axes(
+                wp, 1, 2, P_y=q_y, P_x=q_x)
             qp["up_w_0_q"], qp["up_w_0_ws"] = q_oc(wk1)
-            wk9, self.final_plan_q = sp.prepack_same_phase_blocked(
-                w9.astype(jnp.float32), 2, 2)
-            qp["final_w_q"], qp["final_w_ws"] = q_oc(wk9)
+            self.up_pads_q = (pads_y1, pads_x1)
+            wk9, pads_y9, pads_x9 = sp.rearrange_same_kernel_axes(
+                w9.astype(jnp.float32), 4, 4)
+            # x-packed intermediate channel t = ((ey*2 + bx)*2 + a)*2 + b
+            # (ey: y-s2d offset, bx: W-pair slot, (a,b): transpose-conv
+            # phase) -> canonical S=4 position (A,B) = (2*ey+a, 2*bx+b).
+            j = np.arange(16 * c_up)
+            o, t = j % c_up, j // c_up
+            ey, rem = t // 8, t % 8
+            bx, rem = rem // 4, rem % 4
+            a, b = rem // 2, rem % 2
+            canon = ((2 * ey + a) * 4 + (2 * bx + b)) * c_up + o
+            qp["final_w_q"], qp["final_w_ws"] = q_oc(wk9[:, :, canon, :])
+            self.final_pads_q = (pads_y9, pads_x9)
             qp["tail_s0"] = jnp.asarray(0.0, jnp.float32)  # set by calibrate
             qp["tail_s1"] = jnp.asarray(0.0, jnp.float32)
             self.tail_quant_ready = True
@@ -298,30 +315,32 @@ class FastOrigRunner:
         return sp.depth_to_space(yp, r * self.extra)
 
     def _tail_int8(self, qp: Dict[str, Any], y: jax.Array) -> jax.Array:
-        """W8A8 tail (calibrated), T1 structure: the transpose conv runs in
-        the exact r=1 phase form (tiny [k-1,k-1,C,4C'] kernel, 1.45x FLOP
-        padding vs 5.8x for the r=2-blocked form), the big phase
-        intermediate is stored int8 (half HBM traffic) and space_to_depth'd
-        in the int8 domain, and the final conv consumes that s2d layout
-        directly (prepacked with r=2, extra_block=2). Scales: per-out-
-        channel weight scales ride through the positively-homogeneous
-        LeakyReLU and fold into the elementwise dequant."""
+        """W8A8 tail (calibrated), x-packed structure (see __init__): the
+        transpose conv runs on W-pair-packed input at full K lanes, the
+        big phase intermediate is stored int8 (half HBM traffic) and only
+        y-axis space_to_depth'd in the int8 domain, and the final conv
+        consumes that layout directly (permutation folded into its
+        kernel). Scales: per-out-channel weight scales ride through the
+        positively-homogeneous LeakyReLU and fold into the elementwise
+        dequant."""
         from jax import lax
 
         s0, s1 = qp["tail_s0"], qp["tail_s1"]
+        n, h, w_, c = y.shape
+        y = y.reshape(n, h, w_ // 2, 2 * c)  # free W-pair pack
         q0 = jnp.clip(jnp.round(y.astype(jnp.float32) * s0), -127, 127
                       ).astype(jnp.int8)
-        pads = self.up_plan_q[0]
-        acc = lax.conv_general_dilated(q0, qp["up_w_0_q"], (1, 1), pads,
+        acc = lax.conv_general_dilated(q0, qp["up_w_0_q"], (1, 1),
+                                       self.up_pads_q,
                                        dimension_numbers=sp.CONV_DIMS,
                                        preferred_element_type=jnp.int32)
         y1 = acc.astype(jnp.float32) * (qp["up_w_0_ws"] / s0)
-        y1 = y1 + jnp.tile(qp["up_b_0"], 4).astype(jnp.float32)
+        y1 = y1 + jnp.tile(qp["up_b_0"], 8).astype(jnp.float32)
         y1 = vops.leaky_relu(y1, 0.2)
         q1 = jnp.clip(jnp.round(y1 * s1), -127, 127).astype(jnp.int8)
-        q1 = sp.space_to_depth(q1, 2)  # int8: r=2 phase -> blocked layout
-        fpads = self.final_plan_q[0]
-        acc2 = lax.conv_general_dilated(q1, qp["final_w_q"], (1, 1), fpads,
+        q1 = sp.space_to_depth_axes(q1, 2, 1)  # int8 y-fold -> S=4 layout
+        acc2 = lax.conv_general_dilated(q1, qp["final_w_q"], (1, 1),
+                                        self.final_pads_q,
                                         dimension_numbers=sp.CONV_DIMS,
                                         preferred_element_type=jnp.int32)
         yp = acc2.astype(jnp.float32) * (qp["final_w_ws"] / s1)

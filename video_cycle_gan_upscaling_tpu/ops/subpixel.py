@@ -66,6 +66,16 @@ def space_to_depth(x: jax.Array, s: int) -> jax.Array:
     return x.reshape(n, h, w, s * s * c)
 
 
+def space_to_depth_axes(x: jax.Array, s_y: int, s_x: int) -> jax.Array:
+    """Inverse of depth_to_space_axes; s_x=1 folds only the H axis into
+    channels (one free row-major reshape when s_y=1)."""
+    n, hs, ws, c = x.shape
+    h, w = hs // s_y, ws // s_x
+    x = x.reshape(n, h, s_y, w, s_x, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h, w, s_y * s_x * c)
+
+
 def _transpose_pad(k: int, s: int) -> int:
     """jax.lax.conv_transpose SAME low padding (its _conv_transpose_padding)."""
     pad_len = k + s - 2
