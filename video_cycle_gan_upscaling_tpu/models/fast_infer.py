@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from video_cycle_gan_upscaling_tpu.ops import nn as vops
 from video_cycle_gan_upscaling_tpu.ops import subpixel as sp
+from video_cycle_gan_upscaling_tpu.ops import head_conv
 from video_cycle_gan_upscaling_tpu.ops.pallas import fused_conv as fc
 from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
 from video_cycle_gan_upscaling_tpu.ops.quant import QSCALE
@@ -175,7 +176,7 @@ class FastOrigRunner:
         self.tail_quant_ready = False
         self.tail_calibrated = False
         if quant and self.times == 1 and self.final_mode == "square" \
-                and self.extra == 1 and h % 2 == 0 and w % 2 == 0:
+                and self.extra == 1 and h % 2 == 0 and w % 4 == 0:
             def q_oc(wk):
                 amax = jnp.max(jnp.abs(wk), axis=tuple(range(wk.ndim - 1)),
                                keepdims=True)
@@ -191,19 +192,12 @@ class FastOrigRunner:
                 wp, 1, 2, P_y=q_y, P_x=q_x)
             qp["up_w_0_q"], qp["up_w_0_ws"] = q_oc(wk1)
             self.up_pads_q = (pads_y1, pads_x1)
-            wk9, pads_y9, pads_x9 = sp.rearrange_same_kernel_axes(
-                w9.astype(jnp.float32), 4, 4)
-            # x-packed intermediate channel t = ((ey*2 + bx)*2 + a)*2 + b
-            # (ey: y-s2d offset, bx: W-pair slot, (a,b): transpose-conv
-            # phase) -> canonical S=4 position (A,B) = (2*ey+a, 2*bx+b).
-            j = np.arange(16 * c_up)
-            o, t = j % c_up, j // c_up
-            ey, rem = t // 8, t % 8
-            bx, rem = rem // 4, rem % 4
-            a, b = rem // 2, rem % 2
-            canon = ((2 * ey + a) * 4 + (2 * bx + b)) * c_up + o
-            qp["final_w_q"], qp["final_w_ws"] = q_oc(wk9[:, :, canon, :])
-            self.final_pads_q = (pads_y9, pads_x9)
+            # head conv: stride-(2,2) S=(4,8) form straight on the up
+            # conv's layout (96 of 128 output lanes, zero relayouts —
+            # ops/head_conv.py; 5.67 vs 10.51 ms/frame for s2d + S=4)
+            wd, self.final_px_q = head_conv.prepack_head_s48(
+                w9.astype(jnp.float32), c_up)
+            qp["final_w_q"], qp["final_w_ws"] = q_oc(wd)
             qp["tail_s0"] = jnp.asarray(0.0, jnp.float32)  # set by calibrate
             qp["tail_s1"] = jnp.asarray(0.0, jnp.float32)
             self.tail_quant_ready = True
@@ -317,10 +311,10 @@ class FastOrigRunner:
     def _tail_int8(self, qp: Dict[str, Any], y: jax.Array) -> jax.Array:
         """W8A8 tail (calibrated), x-packed structure (see __init__): the
         transpose conv runs on W-pair-packed input at full K lanes, the
-        big phase intermediate is stored int8 (half HBM traffic) and only
-        y-axis space_to_depth'd in the int8 domain, and the final conv
-        consumes that layout directly (permutation folded into its
-        kernel). Scales: per-out-channel weight scales ride through the
+        big phase intermediate is stored int8 (half HBM traffic), and the
+        head conv runs in the stride-(2,2) S=(4,8) form straight on that
+        layout (ops/head_conv.py: 96 of 128 output lanes, no relayouts).
+        Scales: per-out-channel weight scales ride through the
         positively-homogeneous LeakyReLU and fold into the elementwise
         dequant."""
         from jax import lax
@@ -338,15 +332,11 @@ class FastOrigRunner:
         y1 = y1 + jnp.tile(qp["up_b_0"], 8).astype(jnp.float32)
         y1 = vops.leaky_relu(y1, 0.2)
         q1 = jnp.clip(jnp.round(y1 * s1), -127, 127).astype(jnp.int8)
-        q1 = sp.space_to_depth_axes(q1, 2, 1)  # int8 y-fold -> S=4 layout
-        acc2 = lax.conv_general_dilated(q1, qp["final_w_q"], (1, 1),
-                                        self.final_pads_q,
-                                        dimension_numbers=sp.CONV_DIMS,
-                                        preferred_element_type=jnp.int32)
-        yp = acc2.astype(jnp.float32) * (qp["final_w_ws"] / s1)
-        yp = yp + jnp.tile(qp["final_b"], 16).astype(jnp.float32)
-        yp = jnp.tanh(yp)
-        return sp.depth_to_space(yp, 4)
+        yp = head_conv.head_conv_s48(
+            q1, qp["final_w_q"], qp["final_w_ws"] / s1,
+            jnp.tile(qp["final_b"], 32).astype(jnp.float32),
+            self.final_px_q)
+        return sp.depth_to_space_axes(yp, 4, 8)
 
     def apply(self, qp: Dict[str, Any], x: jax.Array) -> jax.Array:
         """[N,H,W,3] in [-1,1] -> [N,H*f,W*f,3]; jit me."""
