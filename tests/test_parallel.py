@@ -116,3 +116,58 @@ def test_dp_cyclegan_step_runs_sharded():
         assert np.isfinite(float(m[k])), k
     # replay pool filled to capacity, state stays replicated + consistent
     assert int(state.pool_a.size) == 4
+
+
+def test_dp_inference_matches_single_device():
+    """DP clip inference (frames batch-sharded, params replicated) must
+    equal the per-frame path exactly (per-frame InstanceNorm stats)."""
+    from video_cycle_gan_upscaling_tpu.video.infer import upscale_clip
+
+    model = UpscalerOrig(kernel_size=3, filters=8, upscale_factor=2,
+                         res_block_num=1, dtype=jnp.float32,
+                         phase_tail=True)
+    frame_hw = (8, 12)
+    x0 = jax.random.uniform(KEY, (1, *frame_hw, 3), minval=-1, maxval=1)
+    params = model.init(KEY, x0)["params"]
+    apply_fn = lambda p, x: model.apply({"params": p}, x)
+
+    rng = np.random.default_rng(3)
+    frames = [rng.uniform(-1, 1, (*frame_hw, 3)).astype(np.float32)
+              for _ in range(11)]  # non-multiple of 8: exercises padding
+
+    common = dict(frame_hw=frame_hw, tile_hw=frame_hw, overlap=2,
+                  upscale_factor=2, sink=None)
+    mesh = make_mesh()
+    got = upscale_clip(apply_fn, params, list(frames), mesh=mesh, **common)
+    ref = upscale_clip(apply_fn, params, list(frames), **common)
+    assert got["frames"] == ref["frames"] == 11
+    np.testing.assert_allclose(got["first_frame"], ref["first_frame"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dp_inference_writes_all_frames():
+    from video_cycle_gan_upscaling_tpu.video.infer import upscale_clip
+
+    model = UpscalerOrig(kernel_size=3, filters=8, upscale_factor=2,
+                         res_block_num=1, dtype=jnp.float32,
+                         phase_tail=True)
+    frame_hw = (8, 12)
+    x0 = jax.random.uniform(KEY, (1, *frame_hw, 3), minval=-1, maxval=1)
+    params = model.init(KEY, x0)["params"]
+    apply_fn = lambda p, x: model.apply({"params": p}, x)
+
+    rng = np.random.default_rng(4)
+    frames = [rng.uniform(-1, 1, (*frame_hw, 3)).astype(np.float32)
+              for _ in range(5)]
+
+    written = []
+
+    class Sink:
+        def write(self, f):
+            written.append(np.asarray(f))
+
+    upscale_clip(apply_fn, params, frames, sink=Sink(), frame_hw=frame_hw,
+                 tile_hw=frame_hw, overlap=2, upscale_factor=2,
+                 mesh=make_mesh())
+    assert len(written) == 5
+    assert written[0].shape == (16, 24, 3)

@@ -45,6 +45,10 @@ def main(argv=None):
     p.add_argument("--turbo", action="store_true",
                    help="W8A8 int8 trunk (orig generator only; lossy — see "
                         "docs/PERF.md)")
+    p.add_argument("--dp", type=int, default=None, metavar="N",
+                   help="Data-parallel inference over the first N devices "
+                        "(frames batch-sharded over a 1-D mesh, params "
+                        "replicated)")
     args = p.parse_args(argv)
 
     cfg = RunConfig.load(os.path.join(args.run_dir, "parameters.json"))
@@ -108,11 +112,17 @@ def main(argv=None):
             params = quantize_orig_params(params, cfg.model.res_block_num)
             apply_fn = lambda prm, x: quantized_orig_apply(prm, x, dtype=dtype)
 
+    mesh = None
+    if args.dp:
+        from video_cycle_gan_upscaling_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.dp)
+
     result = upscale_clip(
         apply_fn, params, source, sink,
         frame_hw=frame_hw, tile_hw=(args.tile_height, args.tile_width),
         overlap=args.overlap, upscale_factor=factor,
-        max_frames=args.max_frames)
+        max_frames=args.max_frames, mesh=mesh)
     print(json.dumps({"frames": result["frames"], "fps": result["fps"]}))
     return result
 

@@ -108,18 +108,10 @@ class FastOrigRunner:
         # deeper tails keep the r=1 start.
         self.block0 = 2 if (self.times == 1 and h % 2 == 0 and w % 2 == 0) \
             else 1
-        self.up_plans = []
-        r = self.block0
-        for i in range(self.times):
-            up = params[f"upscale_{i}"]["conv_transp"]
-            wk, plan = sp.prepack_transpose_phase(up["kernel"], 2, r)
-            qp[f"up_w_{i}"] = wk.astype(dtype)
-            qp[f"up_b_{i}"] = up["bias"]
-            self.up_plans.append(plan)
-            r *= 2
-        self.r = r
         gh, gw = h // self.block0, w // self.block0  # tail grid
         w9 = params["final_conv"]["kernel"]
+        r = self.block0 * (2 ** self.times)
+        self.r = r
         self.final_mode = "square"
         extra = 1
         import os as _os
@@ -131,52 +123,78 @@ class FastOrigRunner:
         # VCGU_ASYM_HEAD=1 re-enables for experiments.
         asym_ok = _os.environ.get("VCGU_ASYM_HEAD", "0") == "1"
         if self.block0 == 2 and (gw % 2 == 0) and asym_ok:
-            # The W-pair lane order ((wx, ay, bx, c)) vs the canonical
-            # (r, 2r) order ((ay, r*wx+bx, c)) is a pure channel
-            # permutation, folded into the kernel's input axis.
             self.final_mode = "asym"
-            c_up = w9.shape[-2]
-            wk, pads_y, pads_x = sp.rearrange_same_kernel_axes(w9, r, 2 * r)
-            j = np.arange(2 * r * r * c_up)
-            wx, rem = j // (r * r * c_up), j % (r * r * c_up)
-            ay, rem = rem // (r * c_up), rem % (r * c_up)
-            bx, c = rem // c_up, rem % c_up
-            k = (ay * (2 * r) + r * wx + bx) * c_up + c
-            wk = wk[:, :, k, :]
-            qp["final_w"] = wk.astype(dtype)
-            self.final_pads = (pads_y, pads_x)
-        else:
-            if self.block0 == 1:
-                for e in (4, 2):
-                    if gh % e == 0 and gw % e == 0:
-                        extra = e
-                        break
-            wk, plan = sp.prepack_same_phase_blocked(w9, r, extra)
-            qp["final_w"] = wk.astype(dtype)
-            self.final_plan = plan
-        qp["final_b"] = params["final_conv"]["bias"]
+        elif self.block0 == 1:
+            for e in (4, 2):
+                if gh % e == 0 and gw % e == 0:
+                    extra = e
+                    break
         self.extra = extra
+        qp["final_b"] = params["final_conv"]["bias"]
+
+        # x-packed tail (the shipped fast path, bf16 AND int8): W-pairs of
+        # the r=1 canonical trunk output fold into channels by a free
+        # reshape (full 128 K-lanes at 1.33x FLOP padding vs 5.8x for the
+        # r=2-blocked transpose kernel), and the 9x9 head runs in the
+        # stride-(2,2) S=(4,8) form straight on that layout (96 of 128
+        # output lanes, zero relayouts — ops/head_conv.py; layout A/Bs in
+        # docs/PERF.md). The r-blocked path below serves the remaining
+        # configs (multi-upsample tails, odd tiles, the asym experiment).
+        self.xpack_ready = (self.times == 1 and self.final_mode == "square"
+                            and extra == 1 and h % 2 == 0 and w % 4 == 0)
+        self.up_plans = []
+        if self.xpack_ready:
+            up = params["upscale_0"]["conv_transp"]
+            qp["up_b_0"] = up["bias"]
+            c_up = up["kernel"].shape[-1]
+            wp_k, (q_y, q_x), _ = sp._rearrange_transpose_kernel(
+                up["kernel"].astype(jnp.float32), 2)
+            wk1, pads_y1, pads_x1 = sp.rearrange_same_kernel_axes(
+                wp_k, 1, 2, P_y=q_y, P_x=q_x)
+            self.up_pads_q = (pads_y1, pads_x1)
+            wd, self.final_px_q = head_conv.prepack_head_s48(
+                w9.astype(jnp.float32), c_up)
+            qp["up_w_x"] = wk1.astype(dtype)
+            qp["head_w_x"] = wd.astype(dtype)
+        else:
+            rr = self.block0
+            for i in range(self.times):
+                up = params[f"upscale_{i}"]["conv_transp"]
+                wk, plan = sp.prepack_transpose_phase(up["kernel"], 2, rr)
+                qp[f"up_w_{i}"] = wk.astype(dtype)
+                qp[f"up_b_{i}"] = up["bias"]
+                self.up_plans.append(plan)
+                rr *= 2
+            if self.final_mode == "asym":
+                # The W-pair lane order ((wx, ay, bx, c)) vs the canonical
+                # (r, 2r) order ((ay, r*wx+bx, c)) is a pure channel
+                # permutation, folded into the kernel's input axis.
+                c_up = w9.shape[-2]
+                wk, pads_y, pads_x = sp.rearrange_same_kernel_axes(
+                    w9, r, 2 * r)
+                j = np.arange(2 * r * r * c_up)
+                wx, rem = j // (r * r * c_up), j % (r * r * c_up)
+                ay, rem = rem // (r * c_up), rem % (r * c_up)
+                bx, c_ = rem // c_up, rem % c_up
+                k = (ay * (2 * r) + r * wx + bx) * c_up + c_
+                wk = wk[:, :, k, :]
+                qp["final_w"] = wk.astype(dtype)
+                self.final_pads = (pads_y, pads_x)
+            else:
+                wk, plan = sp.prepack_same_phase_blocked(w9, r, extra)
+                qp["final_w"] = wk.astype(dtype)
+                self.final_plan = plan
 
         # --- int8 tail (quant mode, after calibrate()) --------------------
         # The tail convs are the post-trunk bottleneck; W8A8 doubles their
-        # MXU rate and the big phase intermediate becomes int8 (half HBM).
-        # Structure (x-packed; measured fastest of three tail layouts on
-        # v5e — scripts/tail_ab*.py): W-pairs of the r=1 canonical input
-        # are packed into channels by a free row-major reshape (K lanes
-        # C -> 2C, full 128 at the flagship), and the transpose conv is
-        # prepacked with an s_x=2 axis blocking on top of the exact phase
-        # form — 1.33x FLOP padding vs 5.8x for the full r=2-blocked
-        # kernel. Its output is already x-blocked, so only a free y-axis
-        # space_to_depth (on the int8 tensor) remains before the final
-        # conv, whose S=4 phase kernel gets the (ey,bx,a,b)->canonical
-        # input-channel permutation folded in at prepack.
+        # MXU rate on the same x-packed structure as the bf16 tail, and
+        # the big phase intermediate becomes int8 (half HBM).
         # Weights: symmetric per-out-channel scales on the prepacked phase
         # kernels. Activations: per-tensor scales measured by calibrate()
-        # on a real frame; until calibrated the tail stays bf16.
+        # on a real frame; until calibrated the tail runs the bf16 x-pack.
         self.tail_quant_ready = False
         self.tail_calibrated = False
-        if quant and self.times == 1 and self.final_mode == "square" \
-                and self.extra == 1 and h % 2 == 0 and w % 4 == 0:
+        if quant and self.xpack_ready:
             def q_oc(wk):
                 amax = jnp.max(jnp.abs(wk), axis=tuple(range(wk.ndim - 1)),
                                keepdims=True)
@@ -184,19 +202,7 @@ class FastOrigRunner:
                 q = jnp.clip(jnp.round(wk * s), -127, 127).astype(jnp.int8)
                 return q, (1.0 / s).reshape(-1)
 
-            up_k = params["upscale_0"]["conv_transp"]["kernel"]
-            c_up = up_k.shape[-1]
-            wp, (q_y, q_x), _ = sp._rearrange_transpose_kernel(
-                up_k.astype(jnp.float32), 2)
-            wk1, pads_y1, pads_x1 = sp.rearrange_same_kernel_axes(
-                wp, 1, 2, P_y=q_y, P_x=q_x)
             qp["up_w_0_q"], qp["up_w_0_ws"] = q_oc(wk1)
-            self.up_pads_q = (pads_y1, pads_x1)
-            # head conv: stride-(2,2) S=(4,8) form straight on the up
-            # conv's layout (96 of 128 output lanes, zero relayouts —
-            # ops/head_conv.py; 5.67 vs 10.51 ms/frame for s2d + S=4)
-            wd, self.final_px_q = head_conv.prepack_head_s48(
-                w9.astype(jnp.float32), c_up)
             qp["final_w_q"], qp["final_w_ws"] = q_oc(wd)
             qp["tail_s0"] = jnp.asarray(0.0, jnp.float32)  # set by calibrate
             qp["tail_s1"] = jnp.asarray(0.0, jnp.float32)
@@ -213,11 +219,9 @@ class FastOrigRunner:
         n, h, wp_, cp = trunk.shape
         y = trunk.reshape(n, h, wp_ * self.pack, self.filters
                           ).astype(jnp.float32)
-        y = sp.space_to_depth(y, self.block0)
         amax0 = jnp.maximum(jnp.max(jnp.abs(y)), 1e-6)
-        y1 = sp.transpose_conv_phase_packed(y, qp["up_w_0"].astype(jnp.float32),
-                                            self.up_plans[0], qp["up_b_0"])
-        y1 = vops.leaky_relu(y1, 0.2)
+        y1 = self._up_xpack(y, qp["up_w_x"].astype(jnp.float32),
+                            qp["up_b_0"])
         amax1 = jnp.maximum(jnp.max(jnp.abs(y1)), 1e-6)
         qp = dict(qp)
         qp["tail_s0"] = (127.0 / amax0).astype(jnp.float32)
@@ -275,6 +279,18 @@ class FastOrigRunner:
                                            pack, hw)
         return _apply_res(a, h0, sp_, tp_)
 
+    def _up_xpack(self, y: jax.Array, wk: jax.Array, b) -> jax.Array:
+        """x-packed transpose conv + LeakyReLU on the r=1 canonical
+        stream: [N,H,W,C] -> [N,H,W/2,8C'] (dtype follows the inputs)."""
+        from jax import lax
+
+        n, h, w_, c = y.shape
+        y = y.reshape(n, h, w_ // 2, 2 * c)  # free W-pair pack
+        y1 = lax.conv_general_dilated(y, wk, (1, 1), self.up_pads_q,
+                                      dimension_numbers=sp.CONV_DIMS)
+        y1 = y1 + jnp.tile(b, 8).astype(y1.dtype)
+        return vops.leaky_relu(y1, 0.2)
+
     def apply_tail(self, qp: Dict[str, Any], trunk: jax.Array) -> jax.Array:
         """Packed trunk output -> HR image (prepacked phase tail)."""
         n, h, wp_, cp = trunk.shape
@@ -282,6 +298,13 @@ class FastOrigRunner:
                           ).astype(self.dtype)  # unpack to canonical r=1
         if self.tail_quant_ready and self.tail_calibrated:
             return self._tail_int8(qp, y)  # consumes the r=1 canonical form
+        if self.xpack_ready:
+            y1 = self._up_xpack(y, qp["up_w_x"], qp["up_b_0"])
+            yp = head_conv.head_conv_s48(
+                y1, qp["head_w_x"], None,
+                jnp.tile(qp["final_b"], 32).astype(jnp.float32),
+                self.final_px_q)
+            return sp.depth_to_space_axes(yp, 4, 8)
         if self.block0 > 1:
             y = sp.space_to_depth(y, self.block0)
         r = self.block0

@@ -68,17 +68,21 @@ def prepack_head_s48(w9: jax.Array, c_up: int):
     return w_out, (2 * px_l, 2 * px_h)
 
 
-def head_conv_s48(q1: jax.Array, wq: jax.Array, ws: jax.Array,
-                  bias96: jax.Array, px: tuple) -> jax.Array:
-    """int8 q1 [N,H,W2,8C] -> tanh'd f32 [N,H/2,W2/2,96] (S=(4,8)
-    phase-major channels; finish with depth_to_space_axes(.,4,8)).
+def head_conv_s48(q1: jax.Array, wq: jax.Array, ws, bias96: jax.Array,
+                  px: tuple) -> jax.Array:
+    """q1 [N,H,W2,8C] -> tanh'd f32 [N,H/2,W2/2,96] (S=(4,8) phase-major
+    channels; finish with depth_to_space_axes(.,4,8)).
 
-    wq int8 [6,4,8C,96] from ``prepack_head_s48`` (quantized); ws f32
-    [96] per-out-channel dequant scales with the activation scale folded
-    in by the caller; bias96 f32 [96] (jnp.tile(bias, 32))."""
+    wq [6,4,8C,96] from ``prepack_head_s48``. int8 path (W8A8): wq int8
+    and ws f32 [96] per-out-channel dequant scales with the activation
+    scale folded in by the caller. bf16 path: wq bf16, ws None.
+    bias96 f32 [96] (jnp.tile(bias, 32))."""
+    acc_t = jnp.int32 if q1.dtype == jnp.int8 else jnp.float32
     acc = lax.conv_general_dilated(
         q1, wq, (2, 2), ((2, 3), px),
         dimension_numbers=sp.CONV_DIMS,
-        preferred_element_type=jnp.int32)
-    yp = acc.astype(jnp.float32) * ws[None, None, None, :]
+        preferred_element_type=acc_t)
+    yp = acc.astype(jnp.float32)
+    if ws is not None:
+        yp = yp * ws[None, None, None, :]
     return jnp.tanh(yp + bias96[None, None, None, :])

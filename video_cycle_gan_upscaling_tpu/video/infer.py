@@ -22,14 +22,23 @@ def upscale_clip(apply_fn: Callable, params, source, sink=None,
                  tile_hw: Tuple[int, int] = (135, 240),
                  overlap: int = 16, upscale_factor: int = 4,
                  max_frames: Optional[int] = None,
-                 warmup: int = 1) -> dict:
+                 warmup: int = 1, mesh=None) -> dict:
     """Upscale every frame from ``source``; write to ``sink`` if given.
+
+    ``mesh``: optional 1-D jax.sharding.Mesh — frames are then processed
+    in device-count groups, batch-sharded over the mesh with replicated
+    params (pure data parallelism; InstanceNorm statistics are per-frame,
+    so sharded results are identical to the single-device path). Scale-out
+    for the BASELINE "frames/sec/chip on v5e-8" target.
 
     Returns {'frames', 'seconds', 'fps', 'first_frame'} — fps excludes the
     compile/warmup frame(s).
     """
     upscale = make_tiled_upscaler(apply_fn, frame_hw, tile_hw, overlap,
                                   upscale_factor)
+    if mesh is not None:
+        return _upscale_clip_dp(upscale, params, source, sink, mesh,
+                                max_frames, warmup)
 
     def frames():
         for i, frame in enumerate(source):
@@ -73,3 +82,67 @@ def upscale_clip(apply_fn: Callable, params, source, sink=None,
         "fps": (timed / seconds) if seconds > 0 else 0.0,
         "first_frame": first_out,
     }
+
+
+def _upscale_clip_dp(upscale, params, source, sink, mesh, max_frames,
+                     warmup) -> dict:
+    """Data-parallel clip loop: frames grouped per device count, batch
+    axis sharded over the mesh, params replicated (ICI-free — no
+    collectives in the forward graph at all). A short final group is
+    padded by repeating its last frame; the padding outputs are dropped
+    before the sink."""
+    from video_cycle_gan_upscaling_tpu.parallel.mesh import (
+        batch_sharding,
+        replicated,
+    )
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    bsh = batch_sharding(mesh)
+    params = jax.device_put(params, replicated(mesh))
+    batched = jax.jit(upscale.batch, in_shardings=(replicated(mesh), bsh),
+                      out_shardings=bsh)
+
+    n = 0
+    groups = 0
+    first_out = None
+    t0 = None
+
+    def flush(buf):
+        nonlocal n, groups, first_out, t0
+        k = len(buf)
+        if k == 0:
+            return
+        while len(buf) < n_dev:  # pad short tail group
+            buf.append(buf[-1])
+        x = jax.device_put(np.stack(buf).astype(np.float32), bsh)
+        out = batched(params, x)
+        if groups < warmup:
+            out.block_until_ready()
+            t0 = time.perf_counter()
+        host = np.asarray(out)[:k]
+        if first_out is None:
+            first_out = host[0]
+        if sink is not None:
+            for f in host:
+                sink.write(f)
+        n += k
+        groups += 1
+
+    buf = []
+    for i, frame in enumerate(source):
+        if max_frames is not None and i >= max_frames:
+            break
+        buf.append(np.ascontiguousarray(frame, np.float32))
+        if len(buf) == n_dev:
+            flush(buf)
+            buf = []
+    flush(buf)
+    if sink is not None and hasattr(sink, "close"):
+        sink.close()
+
+    timed_groups = max(groups - warmup, 0)
+    seconds = (time.perf_counter() - t0) if (t0 is not None
+                                             and timed_groups) else 0.0
+    fps = (timed_groups * n_dev / seconds) if seconds > 0 else 0.0
+    return {"frames": n, "seconds": seconds, "fps": fps,
+            "first_frame": first_out}
