@@ -155,3 +155,16 @@ def test_upscaler_skipcon_phase_tail_matches_pixel_path(factor):
     out_phase = m_phase.apply(v_phase, x)
     np.testing.assert_allclose(np.asarray(out_phase), np.asarray(out_pix),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_space_to_depth_axes_roundtrip():
+    """space_to_depth_axes inverts depth_to_space_axes per axis pair."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 6, 8, 12)), jnp.float32)
+    for s_y, s_x in ((2, 1), (1, 2), (2, 3)):
+        hr = sp.depth_to_space_axes(x.reshape(2, 6, 8, 12), s_y, s_x) \
+            if 12 % (s_y * s_x) == 0 else None
+        if hr is None:
+            continue
+        back = sp.space_to_depth_axes(hr, s_y, s_x)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))

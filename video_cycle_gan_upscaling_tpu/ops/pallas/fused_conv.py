@@ -92,11 +92,16 @@ def _pick_th(h: int, wp: int, cp: int, kh: int, kw: int, *, has_res: bool,
 
 
 def _kernel(*refs, th: int, kh: int, kw: int, pre: str, act: str,
-            quant: bool, px_l: int, qscale: float):
+            quant: bool, px_l: int, qscale: float, split: bool = False):
     """Grid (N, H//TH). refs layout (inputs then outputs):
 
     x_top, x_cur, x_bot, [r_top, r_cur, r_bot,] [scale, shift,] [alpha,]
     w, y_out, [h_out,] stats_out
+
+    ``split``: process the window as two half-row chunks so half B's
+    elementwise pre-op (VPU) can overlap half A's matmuls (MXU) — the
+    pre-op is otherwise a serial prefix of every step, which the int8
+    path exposes (its MXU time is half the bf16 path's).
     """
     it = iter(refs)
     x_top, x_cur, x_bot = next(it), next(it), next(it)
@@ -135,52 +140,75 @@ def _kernel(*refs, th: int, kh: int, kw: int, pre: str, act: str,
             z = z + r.astype(jnp.float32)
         return z
 
-    # --- assemble the pre-op'd window zw [TH+KH-1, Wp, Cp] --------------
-    z_cur = pre_op(x_cur[0], r_cur[0] if pre == "affine_res" else None)
-    z_top = pre_op(x_top[0], r_top[0] if pre == "affine_res" else None)
-    z_bot = pre_op(x_bot[0], r_bot[0] if pre == "affine_res" else None)
-    z_top = jnp.where(i > 0, z_top, 0.0)
-    z_bot = jnp.where(i < n_i - 1, z_bot, 0.0)
-
-    if pre == "affine_res":
-        h_ref[0] = z_cur.astype(h_ref.dtype)
-
     if quant:
         q = jnp.asarray(qscale, jnp.float32)
         cast = lambda z: jnp.clip(jnp.round(z * q), -127.0, 127.0
                                   ).astype(jnp.int8)
     else:
         cast = lambda z: z.astype(jnp.bfloat16)
-    zw = jnp.concatenate([cast(z_top), cast(z_cur), cast(z_bot)], axis=0)
 
-    # --- xcat: KW lane-concatenated column shifts (zero at W borders) ---
-    cols = []
-    zero_col = jnp.zeros((th + kh - 1, 1, cp), zw.dtype)
-    for dx in range(kw):
-        o = dx - px_l  # input col for output col 0
-        if o < 0:
-            piece = jnp.concatenate(
-                [jnp.broadcast_to(zero_col, (th + kh - 1, -o, cp)),
-                 zw[:, : wp + o, :]], axis=1)
-        elif o > 0:
-            piece = jnp.concatenate(
-                [zw[:, o:, :],
-                 jnp.broadcast_to(zero_col, (th + kh - 1, o, cp))], axis=1)
-        else:
-            piece = zw
-        cols.append(piece)
-    xcat = jnp.concatenate(cols, axis=-1)  # [TH+KH-1, Wp, KW*Cp]
+    def xcat_of(zw):
+        """KW lane-concatenated column shifts (zero at W borders)."""
+        rows = zw.shape[0]
+        cols = []
+        zero_col = jnp.zeros((rows, 1, cp), zw.dtype)
+        for dx in range(kw):
+            o = dx - px_l  # input col for output col 0
+            if o < 0:
+                piece = jnp.concatenate(
+                    [jnp.broadcast_to(zero_col, (rows, -o, cp)),
+                     zw[:, : wp + o, :]], axis=1)
+            elif o > 0:
+                piece = jnp.concatenate(
+                    [zw[:, o:, :],
+                     jnp.broadcast_to(zero_col, (rows, o, cp))], axis=1)
+            else:
+                piece = zw
+            cols.append(piece)
+        return jnp.concatenate(cols, axis=-1)  # [rows, Wp, KW*Cp]
 
-    # --- conv: KH row-tap matmuls, f32/int32 accumulation ---------------
     acc_t = jnp.int32 if quant else jnp.float32
     dims = (((2,), (0,)), ((), ()))
-    acc = lax.dot_general(xcat[0:th], w_ref[0], dims,
-                          preferred_element_type=acc_t)
-    for dy in range(1, kh):
-        acc = acc + lax.dot_general(xcat[dy:dy + th], w_ref[dy], dims,
-                                    preferred_element_type=acc_t)
 
-    accf = acc.astype(jnp.float32)
+    def dots(xcat, rows_out):
+        acc = lax.dot_general(xcat[0:rows_out], w_ref[0], dims,
+                              preferred_element_type=acc_t)
+        for dy in range(1, kh):
+            acc = acc + lax.dot_general(xcat[dy:dy + rows_out], w_ref[dy],
+                                        dims, preferred_element_type=acc_t)
+        return acc
+
+    res = pre == "affine_res"
+    if split and th % 2 == 0 and th >= 4:
+        h1 = th // 2
+        mid = h1 + halo_hi
+        z_top = pre_op(x_top[0], r_top[0] if res else None)
+        z_top = jnp.where(i > 0, z_top, 0.0)
+        za_cur = pre_op(x_cur[0, :mid], r_cur[0, :mid] if res else None)
+        zwa = jnp.concatenate([cast(z_top), cast(za_cur)], axis=0)
+        acc_a = dots(xcat_of(zwa), h1)  # outs [0, h1) — MXU half A
+        # half B's pre-op is independent of acc_a: schedulable on the
+        # VPU while the MXU runs half A
+        zb_cur = pre_op(x_cur[0, mid:], r_cur[0, mid:] if res else None)
+        z_bot = pre_op(x_bot[0], r_bot[0] if res else None)
+        z_bot = jnp.where(i < n_i - 1, z_bot, 0.0)
+        zwb = jnp.concatenate([zwa[h1:], cast(zb_cur), cast(z_bot)], axis=0)
+        acc_b = dots(xcat_of(zwb), th - h1)
+        if res:
+            h_ref[0] = jnp.concatenate([za_cur, zb_cur], axis=0
+                                       ).astype(h_ref.dtype)
+        accf = jnp.concatenate([acc_a, acc_b], axis=0).astype(jnp.float32)
+    else:
+        z_cur = pre_op(x_cur[0], r_cur[0] if res else None)
+        z_top = pre_op(x_top[0], r_top[0] if res else None)
+        z_bot = pre_op(x_bot[0], r_bot[0] if res else None)
+        z_top = jnp.where(i > 0, z_top, 0.0)
+        z_bot = jnp.where(i < n_i - 1, z_bot, 0.0)
+        if res:
+            h_ref[0] = z_cur.astype(h_ref.dtype)
+        zw = jnp.concatenate([cast(z_top), cast(z_cur), cast(z_bot)], axis=0)
+        accf = dots(xcat_of(zw), th).astype(jnp.float32)
+
     y_ref[0] = accf.astype(y_ref.dtype)
 
     s1 = jnp.sum(accf, axis=(0, 1))
@@ -292,9 +320,12 @@ def fused_conv_stats(
     out_specs += [pl.BlockSpec((1, 2, cp), lambda ni, i: (ni, 0, 0),
                                memory_space=pltpu.VMEM)]
 
+    import os as _os
+
+    split = _os.environ.get("VCGU_TRUNK_SPLIT", "0") == "1"
     kernel = functools.partial(_kernel, th=th, kh=kh, kw=kw, pre=pre,
                                act=act, quant=quant, px_l=px_l,
-                               qscale=qscale)
+                               qscale=qscale, split=split)
     out = pl.pallas_call(
         kernel,
         grid=grid,
