@@ -77,7 +77,7 @@ def bench_tiled_inference():
         r, qp = runners[tag]
         batches = [jax.device_put(jnp.asarray(
             np.random.default_rng(i).uniform(-1, 1, (batch, *FRAME_HW, 3)),
-            jnp.float32)) for i in range(8)]
+            jnp.float32)) for i in range(16)]
         if r.tail_quant_ready and not r.tail_calibrated:
             qp = jax.jit(r.calibrate)(qp, batches[0][:1])
             runners[tag] = (r, qp)

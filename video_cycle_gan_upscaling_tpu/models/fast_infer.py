@@ -11,12 +11,16 @@ inference speed of light (VERDICT.md round-1 items 2-3):
   norm — ops/quant.py invariance note);
 - every phase-space tail kernel (transpose convs + final 9x9) is
   rearranged ONCE at prepack time instead of gather-rebuilt inside every
-  jitted forward;
-- ``quant='int8'`` runs the trunk convs W8A8 on the MXU (v5e ~2x bf16
+  jitted forward; single-upsample tails run x-packed (free W-pair channel
+  fold to full MXU K-lanes, then the 9x9 head as a stride-(2,2) S=(4,8)
+  conv straight on that layout — ops/head_conv.py, layout A/Bs in
+  docs/PERF.md round 2);
+- ``quant=True`` runs the trunk convs W8A8 on the MXU (v5e ~2x bf16
   peak) with in-VMEM activation quantization: the residual stream stays
   bf16 (more accurate than the round-1 turbo's int8 ring), and no int8
-  tensor crosses an HBM boundary (the round-1 relayout tax,
-  docs/PERF.md:76-83).
+  tensor crosses an HBM kernel boundary in the trunk (the round-1
+  relayout tax, docs/PERF.md); after ``calibrate()`` the tail also runs
+  W8A8 on the same x-packed structure.
 
 Reference semantics: make_upscaler_orig
 (/root/reference/upscaling/upscaler/model.py:267-295).
@@ -69,7 +73,6 @@ class FastOrigRunner:
             pack //= 2
         self.pack = pack
         self.cp = c * pack
-        self.hw = h * w
 
         qp: Dict[str, Any] = {
             "stem_w": params["initial_conv"]["kernel"].astype(dtype),
@@ -111,7 +114,6 @@ class FastOrigRunner:
         gh, gw = h // self.block0, w // self.block0  # tail grid
         w9 = params["final_conv"]["kernel"]
         r = self.block0 * (2 ** self.times)
-        self.r = r
         self.final_mode = "square"
         extra = 1
         import os as _os
