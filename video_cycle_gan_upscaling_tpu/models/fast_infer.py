@@ -206,15 +206,22 @@ class FastOrigRunner:
 
             qp["up_w_0_q"], qp["up_w_0_ws"] = q_oc(wk1)
             qp["final_w_q"], qp["final_w_ws"] = q_oc(wd)
-            qp["tail_s0"] = jnp.asarray(0.0, jnp.float32)  # set by calibrate
-            qp["tail_s1"] = jnp.asarray(0.0, jnp.float32)
+            # NOTE: tail_s0/tail_s1 are deliberately ABSENT until
+            # calibrate() — tail selection keys on the qp pytree
+            # STRUCTURE, so jit retraces when (and only when) a
+            # calibrated qp is passed; a stale or discarded-return qp
+            # safely keeps the bf16 tail instead of dividing by a zero
+            # scale.
             self.tail_quant_ready = True
         self.qp = qp
 
     # -------------------------------------------------------- calibration
     def calibrate(self, qp: Dict[str, Any], x: jax.Array) -> Dict[str, Any]:
         """Measure int8-tail activation scales on a sample batch (quant
-        mode). Returns qp with tail_s0/tail_s1 set; idempotent otherwise."""
+        mode). Returns qp with tail_s0/tail_s1 ADDED; idempotent
+        otherwise. Only the returned qp (whose pytree structure now
+        differs) runs the W8A8 tail — passing a stale qp, or reusing a
+        jit traced before calibration, safely keeps the bf16 tail."""
         if not self.tail_quant_ready:
             return qp
         trunk = self.apply_trunk(qp, self.apply_stem(qp, x))
@@ -248,8 +255,7 @@ class FastOrigRunner:
         if quant:
             # dynamic per-tensor scale for the (un-normalized) stem output
             sx = jnp.maximum(jnp.max(jnp.abs(h0.astype(jnp.float32))), 1e-8)
-            s_row = jnp.full((n, cp), 1.0, jnp.float32) * (
-                (127.0 / sx) / RES_QSCALE)
+            s_row = jnp.broadcast_to((127.0 / sx) / RES_QSCALE, (n, cp))
             a, st = fc.fused_conv_stats(
                 h0, qp["w_pre_0"], pads=self.pads["w_pre_0"],
                 pre="affine_act", act="none", scale=s_row,
@@ -281,6 +287,15 @@ class FastOrigRunner:
                                            pack, hw)
         return _apply_res(a, h0, sp_, tp_)
 
+    def _tail_bf16_xpack(self, qp: Dict[str, Any], y: jax.Array) -> jax.Array:
+        """bf16 x-packed tail on the r=1 canonical stream."""
+        y1 = self._up_xpack(y, qp["up_w_x"], qp["up_b_0"])
+        yp = head_conv.head_conv_s48(
+            y1, qp["head_w_x"], None,
+            jnp.tile(qp["final_b"], 32).astype(jnp.float32),
+            self.final_px_q)
+        return sp.depth_to_space_axes(yp, 4, 8)
+
     def _up_xpack(self, y: jax.Array, wk: jax.Array, b) -> jax.Array:
         """x-packed transpose conv + LeakyReLU on the r=1 canonical
         stream: [N,H,W,C] -> [N,H,W/2,8C'] (dtype follows the inputs)."""
@@ -298,15 +313,16 @@ class FastOrigRunner:
         n, h, wp_, cp = trunk.shape
         y = trunk.reshape(n, h, wp_ * self.pack, self.filters
                           ).astype(self.dtype)  # unpack to canonical r=1
-        if self.tail_quant_ready and self.tail_calibrated:
-            return self._tail_int8(qp, y)  # consumes the r=1 canonical form
+        if self.tail_quant_ready and "tail_s0" in qp:
+            # structural tail selection: calibrate() is the only source
+            # of a qp containing tail_s0, and jit caches are keyed on
+            # the pytree structure — so a jitted apply traced before
+            # calibration retraces on the calibrated qp, and a stale
+            # un-calibrated qp keeps the bf16 tail instead of running
+            # int8 with a zero scale.
+            return self._tail_int8(qp, y)
         if self.xpack_ready:
-            y1 = self._up_xpack(y, qp["up_w_x"], qp["up_b_0"])
-            yp = head_conv.head_conv_s48(
-                y1, qp["head_w_x"], None,
-                jnp.tile(qp["final_b"], 32).astype(jnp.float32),
-                self.final_px_q)
-            return sp.depth_to_space_axes(yp, 4, 8)
+            return self._tail_bf16_xpack(qp, y)
         if self.block0 > 1:
             y = sp.space_to_depth(y, self.block0)
         r = self.block0

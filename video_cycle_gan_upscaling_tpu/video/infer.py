@@ -48,13 +48,23 @@ def upscale_clip(apply_fn: Callable, params, source, sink=None,
 
     n = 0
     first_out = None
-    t0 = None
+    t0 = time.perf_counter() if warmup == 0 else None
     pending = None
     for frame in prefetch_to_device(frames(), size=4):
         out = upscale(params, frame)
         if n < warmup:
-            out.block_until_ready()
+            # complete the warmup frame fully — device compute AND the
+            # device->host fetch — OUTSIDE the timed window: the host
+            # round-trip is the only reliable completion barrier on the
+            # tunneled platform (block_until_ready is not; CLAUDE.md)
+            host = np.asarray(out)
+            if first_out is None:
+                first_out = host
+            if sink is not None:
+                sink.write(host)
+            n += 1
             t0 = time.perf_counter()
+            continue
         if pending is not None:
             host = np.asarray(pending)
             if first_out is None:
@@ -69,11 +79,12 @@ def upscale_clip(apply_fn: Callable, params, source, sink=None,
             first_out = host
         if sink is not None:
             sink.write(host)
+    timed = max(n - warmup, 0)
+    # close the window once the last frame reaches the host, before any
+    # sink flush/close cost
+    seconds = (time.perf_counter() - t0) if (t0 is not None and timed) else 0.0
     if sink is not None and hasattr(sink, "close"):
         sink.close()
-
-    timed = max(n - warmup, 0)
-    seconds = (time.perf_counter() - t0) if (t0 is not None and timed) else 0.0
     return {
         "frames": n,
         "seconds": seconds,
@@ -104,11 +115,25 @@ def _upscale_clip_dp(upscale, params, source, sink, mesh, max_frames,
 
     n = 0
     groups = 0
+    timed_frames = 0
     first_out = None
-    t0 = None
+    t0 = time.perf_counter() if warmup == 0 else None
+    pending = None  # (device array, real frame count) — one-deep pipeline
+
+    def drain():
+        nonlocal first_out
+        if pending is None:
+            return
+        out, k = pending
+        host = np.asarray(out)[:k]
+        if first_out is None:
+            first_out = host[0]
+        if sink is not None:
+            for f in host:
+                sink.write(f)
 
     def flush(buf):
-        nonlocal n, groups, first_out, t0
+        nonlocal n, groups, timed_frames, t0, pending, first_out
         k = len(buf)
         if k == 0:
             return
@@ -117,14 +142,20 @@ def _upscale_clip_dp(upscale, params, source, sink, mesh, max_frames,
         x = jax.device_put(np.stack(buf).astype(np.float32), bsh)
         out = batched(params, x)
         if groups < warmup:
-            out.block_until_ready()
+            # complete warmup fully (compute AND device->host) outside
+            # the timed window — the host fetch is the only reliable
+            # completion barrier on the tunneled platform
+            host = np.asarray(out)[:k]
+            if first_out is None:
+                first_out = host[0]
+            if sink is not None:
+                for f in host:
+                    sink.write(f)
             t0 = time.perf_counter()
-        host = np.asarray(out)[:k]
-        if first_out is None:
-            first_out = host[0]
-        if sink is not None:
-            for f in host:
-                sink.write(f)
+        else:
+            drain()  # previous group's fetch overlaps this group's compute
+            pending = (out, k)
+            timed_frames += k  # real frames only; padding excluded
         n += k
         groups += 1
 
@@ -137,12 +168,12 @@ def _upscale_clip_dp(upscale, params, source, sink, mesh, max_frames,
             flush(buf)
             buf = []
     flush(buf)
+    drain()
+    seconds = (time.perf_counter() - t0) if (t0 is not None
+                                             and timed_frames) else 0.0
     if sink is not None and hasattr(sink, "close"):
         sink.close()
 
-    timed_groups = max(groups - warmup, 0)
-    seconds = (time.perf_counter() - t0) if (t0 is not None
-                                             and timed_groups) else 0.0
-    fps = (timed_groups * n_dev / seconds) if seconds > 0 else 0.0
+    fps = (timed_frames / seconds) if seconds > 0 else 0.0
     return {"frames": n, "seconds": seconds, "fps": fps,
             "first_frame": first_out}
