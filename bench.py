@@ -41,9 +41,21 @@ TILE_HW = (540, 960)
 OVERLAP = 16
 FACTOR = 2
 FRAME_BATCH = 8          # falls back to 4 if the graph exceeds HBM
+CLIP_CHUNKS = 16         # chunks scanned per dispatch in streaming mode
 N_ROUNDS = 8
 TARGET_FPS = 60.0
-TURBO_PSNR_GATE = 35.0   # dB, int8 turbo vs bf16 path
+# int8-vs-bf16 PSNR gate, DERIVED from the ≤0.1 dB end-to-end budget
+# (BASELINE.md): adding quantization noise Q dB below the bf16 output to
+# a pipeline whose own reconstruction error is R dB costs
+# 10*log10(1 + 10^((R-Q)/10)) dB end-to-end, so ≤0.1 dB needs
+# Q >= R + 16.3 dB. R is taken at 30 dB — the generous end of the
+# trained-SRGAN-family band (the reference's own stored demo outputs sit
+# far below this: PSNR(orig-model output, bicubic) ≈ 17.7 dB,
+# docs/demo/metrics.json) — so the gate is conservative for any
+# realistically trained checkpoint of this family.
+R_TRAINED_DB = 30.0
+BUDGET_DB = 0.1
+TURBO_PSNR_GATE = R_TRAINED_DB - 10 * np.log10(10 ** (BUDGET_DB / 10) - 1)
 
 
 def log(*a):
@@ -54,6 +66,28 @@ def _psnr(a, b):
     mse = float(np.mean((np.asarray(a, np.float32)
                          - np.asarray(b, np.float32)) ** 2))
     return 10 * np.log10(4.0 / max(mse, 1e-12))
+
+
+def _real_frame_540p():
+    """Real-content 540x960 frame in [-1,1] from the committed demo
+    artifact (a reference BtoA movie frame, docs/demo/input_480x270.png),
+    BICUBIC-resized to the bench geometry. Falls back to noise only if
+    the artifact is missing."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "demo", "input_480x270.png")
+    try:
+        from PIL import Image
+
+        img = Image.open(path).convert("RGB").resize(
+            (FRAME_HW[1], FRAME_HW[0]), Image.BICUBIC)
+        arr = np.asarray(img, np.float32) / 127.5 - 1.0
+        return jnp.asarray(arr, jnp.float32)
+    except Exception as e:  # pragma: no cover
+        log(f"real frame unavailable ({e}); falling back to noise")
+        return jnp.asarray(np.random.default_rng(99).uniform(
+            -1, 1, (*FRAME_HW, 3)), jnp.float32)
 
 
 def bench_tiled_inference():
@@ -67,40 +101,56 @@ def bench_tiled_inference():
     variables = model.init(rng, jnp.zeros((1, *TILE_HW, 3), jnp.float32))
     params = variables["params"]
 
+    # three quality/speed product points: full bf16 (compliant by
+    # construction), bf16 trunk + W8A8 tail ("i8tail" — the trunk
+    # dominates int8 error, docs/PERF.md round-3 isolation), and full
+    # W8A8 ("int8" turbo)
     runners = {}
-    for tag, quant in (("bf16", False), ("int8", True)):
+    for tag, quant in (("bf16", False), ("i8tail", "tail"), ("int8", True)):
         r = FastOrigRunner(params, res_block_num=16, upscale_factor=FACTOR,
                            tile_hw=TILE_HW, quant=quant)
         runners[tag] = (r, jax.device_put(r.qp))
 
+    # calibration frame: REAL imagery (the committed demo artifact derived
+    # from the reference's BtoA_00286 movie frame), not synthetic noise —
+    # VERDICT r2 item 3. Resized to the bench frame geometry.
+    cal_frame = _real_frame_540p()
+
     def measure(tag, batch):
         r, qp = runners[tag]
-        batches = [jax.device_put(jnp.asarray(
-            np.random.default_rng(i).uniform(-1, 1, (batch, *FRAME_HW, 3)),
-            jnp.float32)) for i in range(16)]
         if r.tail_quant_ready and not r.tail_calibrated:
-            qp = jax.jit(r.calibrate)(qp, batches[0][:1])
+            qp = r.calibrate(jax.device_put(qp),
+                             jax.device_put(cal_frame[None]))
             runners[tag] = (r, qp)
-        up = make_tiled_upscaler(r.apply, FRAME_HW, TILE_HW, OVERLAP, FACTOR)
+        up = make_tiled_upscaler(r.apply, FRAME_HW, TILE_HW, OVERLAP, FACTOR,
+                                 apply_fn_u8=r.apply_u8)
         # fetch a scalar each call: block_until_ready is unreliable on the
         # tunneled platform, so force execution via a tiny device->host pull
+        batch0 = jax.device_put(jnp.asarray(
+            np.random.default_rng(0).uniform(-1, 1, (batch, *FRAME_HW, 3)),
+            jnp.float32))
         probe = jax.jit(lambda p, x: jnp.sum(up.batch(p, x)))
-        float(probe(qp, batches[0]))  # compile + warmup
+        float(probe(qp, batch0))  # compile + warmup
         t0 = time.perf_counter()
-        for i in range(N_ROUNDS):
-            float(probe(qp, batches[i % len(batches)]))
+        for _ in range(N_ROUNDS):
+            float(probe(qp, batch0))
         dt = (time.perf_counter() - t0) / N_ROUNDS
         fps = batch / dt
         log(f"{tag} batch {batch}: {dt * 1e3:.1f} ms/batch = {fps:.2f} fps "
             f"(per-batch dispatch)")
-        # streaming dispatch: scan the 4 batches in ONE call — the video
-        # pipeline's operating mode (clip resident on device); the ~29 ms
-        # per-dispatch RPC floor of the tunneled platform amortizes over
-        # the whole clip instead of one batch.
+        # streaming dispatch: scan CLIP_CHUNKS frame-chunks in ONE call —
+        # the video pipeline's operating mode (uint8 in, codec uint8 out,
+        # clip resident on device; the product path feeds the same graph,
+        # video/infer.py upscale_clip_stream). The ~29 ms per-dispatch RPC
+        # floor of the tunneled platform amortizes over the whole clip.
+        # Clip generated ON-device (a multi-GB host push stalls the tunnel).
         try:
-            clip = jnp.stack(batches)
+            gen_clip = jax.jit(lambda key: jax.random.randint(
+                key, (CLIP_CHUNKS, batch, *FRAME_HW, 3), 0, 256,
+                jnp.int32).astype(jnp.uint8))
+            clip = gen_clip(jax.random.PRNGKey(7))
             probe_clip = jax.jit(
-                lambda p, c: jnp.sum(up.clip(p, c).astype(jnp.float32)))
+                lambda p, c: jnp.sum(up.clip_u8(p, c).astype(jnp.float32)))
             float(probe_clip(qp, clip))  # compile + warmup
             t0 = time.perf_counter()
             for _ in range(N_ROUNDS):
@@ -116,7 +166,7 @@ def bench_tiled_inference():
         return fps, up
 
     results = {}
-    for tag in ("int8", "bf16"):  # headline path first (cleanest HBM state)
+    for tag in ("int8", "i8tail", "bf16"):
         batch = FRAME_BATCH
         while batch >= 2:
             try:
@@ -129,17 +179,33 @@ def bench_tiled_inference():
         if tag not in results:
             log(f"{tag}: all batch sizes failed")
 
-    # quality gate: int8 turbo vs bf16 on one frame
-    frame = jnp.asarray(np.random.default_rng(99).uniform(
-        -1, 1, (FRAME_HW[0], FRAME_HW[1], 3)), jnp.float32)
+    # quality gate on a REAL frame (the committed demo-artifact movie
+    # frame — the quantized paths were also CALIBRATED on real content
+    # above), against the budget-derived gate. Headline = the fastest
+    # mode that clears the gate; quantized modes that miss it are
+    # reported as lossy turbo secondaries.
+    frame = cal_frame
     headline = "bf16"
-    if "int8" in results and "bf16" in results:
+    if "bf16" in results:
         out_b = jax.jit(results["bf16"][1])(runners["bf16"][1], frame)
-        out_q = jax.jit(results["int8"][1])(runners["int8"][1], frame)
-        psnr = _psnr(out_q, out_b)
-        log(f"int8 turbo vs bf16 PSNR: {psnr:.2f} dB (gate {TURBO_PSNR_GATE})")
-        if psnr >= TURBO_PSNR_GATE and results["int8"][0] > results["bf16"][0]:
-            headline = "int8"
+        best = results["bf16"][0]
+        for tag in ("i8tail", "int8"):
+            if tag not in results:
+                continue
+            out_q = jax.jit(results[tag][1])(runners[tag][1], frame)
+            psnr = _psnr(out_q, out_b)
+            delta = 10 * np.log10(1 + 10 ** ((R_TRAINED_DB - psnr) / 10))
+            gate = "PASS" if psnr >= TURBO_PSNR_GATE else "MISS"
+            log(f"{tag} vs bf16 PSNR on real frame: {psnr:.2f} dB "
+                f"[{gate} gate {TURBO_PSNR_GATE:.1f} dB; implied "
+                f"end-to-end delta at R={R_TRAINED_DB:.0f} dB: "
+                f"{delta:.3f} dB]")
+            if psnr >= TURBO_PSNR_GATE and results[tag][0] > best:
+                headline, best = tag, results[tag][0]
+            elif results[tag][0] > best:
+                log(f"{tag} is faster ({results[tag][0]:.2f} fps) but "
+                    f"misses the ≤{BUDGET_DB} dB budget gate — lossy "
+                    f"turbo secondary only")
     log(f"headline path: {headline}")
     return results[headline][0]
 

@@ -117,6 +117,24 @@ def test_fused_quant_matches_xla_emulation(interpret):
                                rtol=1e-6, atol=1e-3)
 
 
+@pytest.mark.parametrize("variant", ["none", "affine_res"])
+def test_partial_stats_mode_matches_revisit(variant):
+    """stats_mode='partial' (per-step partial stats, fully parallel grid)
+    returns the same summed [N,2,Cp] as the revisit accumulator."""
+    w5, pads = fc.pack_conv_kernel(WK, PACK)
+    kw = {} if variant == "none" else dict(
+        pre="affine_res", scale=_unpack_scale(SC), shift=_unpack_scale(SH),
+        res=_pack(RES))
+    out_r = fc.fused_conv_stats(_pack(X), w5, pads=pads, interpret=True,
+                                stats_mode="revisit", **kw)
+    out_p = fc.fused_conv_stats(_pack(X), w5, pads=pads, interpret=True,
+                                stats_mode="partial", **kw)
+    for a, b in zip(out_r, out_p):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_stats_to_scale_shift_matches_instance_norm():
     w5, pads = fc.pack_conv_kernel(WK, PACK)
     y, stats = fc.fused_conv_stats(_pack(X), w5, pads=pads, interpret=True)
@@ -168,8 +186,37 @@ def test_fast_orig_runner_matches_model(quant, factor):
         assert float(err.max()) < 0.05, float(err.max())
 
 
-def test_fast_orig_runner_int8_tail():
-    """Calibrated W8A8 tail: still high-PSNR vs the reference model."""
+@pytest.mark.parametrize("quant", [False, True])
+def test_fast_orig_runner_apply_u8_matches_apply(quant):
+    """apply_u8 (codec emit folded into the head epilogue) must equal
+    unit_to_uint8(apply(...)) exactly for every tail variant."""
+    from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
+    from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
+    from video_cycle_gan_upscaling_tpu.ops.codec import unit_to_uint8
+
+    model = UpscalerOrig(kernel_size=5, filters=8, upscale_factor=2,
+                         res_block_num=2, dtype=jnp.float32, phase_tail=True)
+    x = _mk(jax.random.PRNGKey(8), (1, 12, 16, 3), 0.5)
+    variables = model.init(jax.random.PRNGKey(9), x)
+
+    pnorms.INTERPRET = True
+    try:
+        runner = FastOrigRunner(variables["params"], res_block_num=2,
+                                upscale_factor=2, tile_hw=(12, 16),
+                                quant=quant, dtype=jnp.float32)
+        qp = runner.calibrate(runner.qp, x) if quant else runner.qp
+        ref = unit_to_uint8(runner.apply(qp, x))
+        got = runner.apply_u8(qp, x)
+    finally:
+        pnorms.INTERPRET = False
+    assert got.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("quant", [True, "tail"])
+def test_fast_orig_runner_int8_tail(quant):
+    """Calibrated W8A8 tail (full-int8 and tail-only modes): still
+    high-PSNR vs the reference model; tail-only must beat full int8."""
     from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
     from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
 
@@ -183,8 +230,9 @@ def test_fast_orig_runner_int8_tail():
     try:
         runner = FastOrigRunner(variables["params"], res_block_num=2,
                                 upscale_factor=2, tile_hw=(12, 16),
-                                quant=True, dtype=jnp.float32)
+                                quant=quant, dtype=jnp.float32)
         assert runner.tail_quant_ready
+        assert runner.quant == (quant is True)
         qp = runner.calibrate(runner.qp, x)
         assert runner.tail_calibrated
         got = runner.apply(qp, x)
@@ -193,4 +241,4 @@ def test_fast_orig_runner_int8_tail():
     mse = float(np.mean((np.asarray(got, np.float32)
                          - np.asarray(ref, np.float32)) ** 2))
     psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
-    assert psnr > 30.0, psnr
+    assert psnr > (40.0 if quant == "tail" else 30.0), (quant, psnr)

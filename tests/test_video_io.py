@@ -67,6 +67,46 @@ def test_open_source_dispatch(tmp_path):
     assert isinstance(vio.open_source(str(tmp_path / "c.y4m")), vio.Y4mSource)
 
 
+def test_upscale_clip_stream_matches_per_frame(tmp_path):
+    """Streaming chunked dispatch (uint8 in/out, lax.scan over chunks,
+    padded tail superbatch) produces the same frames as the per-frame
+    loop — including when the frame count is not a multiple of the
+    superbatch size."""
+    from video_cycle_gan_upscaling_tpu.ops.nn import resize_nearest
+    from video_cycle_gan_upscaling_tpu.video.infer import (
+        upscale_clip,
+        upscale_clip_stream,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(7):  # 7 frames, superbatch 2x2=4 -> one padded tail
+        arr = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"f_{i}.png")
+
+    common = dict(frame_hw=(12, 16), tile_hw=(12, 16), overlap=2,
+                  upscale_factor=2)
+    apply_fn = lambda p, x: resize_nearest(x, 2)
+    sink_a = vio.ImageDirSink(str(tmp_path / "a"), ext=".png")
+    res_a = upscale_clip(apply_fn, {}, vio.ImageDirSource(str(d), ".png"),
+                         sink_a, **common)
+    sink_b = vio.ImageDirSink(str(tmp_path / "b"), ext=".png")
+    res_b = upscale_clip_stream(apply_fn, {},
+                                vio.ImageDirSource(str(d), ".png"), sink_b,
+                                chunk_frames=2, chunks_per_dispatch=2,
+                                **common)
+    assert res_a["frames"] == res_b["frames"] == 7
+    outs_a = sorted((tmp_path / "a").iterdir())
+    outs_b = sorted((tmp_path / "b").iterdir())
+    assert len(outs_a) == len(outs_b) == 7
+    for fa, fb in zip(outs_a, outs_b):
+        a = np.asarray(Image.open(fa))
+        b = np.asarray(Image.open(fb))
+        np.testing.assert_array_equal(a, b)
+    assert res_b["first_frame"].dtype == np.uint8
+
+
 def test_upscale_clip_pipeline(tmp_path):
     # nearest-neighbor "generator": end-to-end clip path incl. prefetch
     from video_cycle_gan_upscaling_tpu.ops.nn import resize_nearest

@@ -19,7 +19,10 @@ import numpy as np
 from video_cycle_gan_upscaling_tpu.models import make_generator
 from video_cycle_gan_upscaling_tpu.train.checkpoint import CheckpointManager
 from video_cycle_gan_upscaling_tpu.utils.config import RunConfig
-from video_cycle_gan_upscaling_tpu.video.infer import upscale_clip
+from video_cycle_gan_upscaling_tpu.video.infer import (
+    upscale_clip,
+    upscale_clip_stream,
+)
 from video_cycle_gan_upscaling_tpu.video.io import open_sink, open_source
 
 
@@ -43,12 +46,23 @@ def main(argv=None):
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--ext", default=".jpg")
     p.add_argument("--turbo", action="store_true",
-                   help="W8A8 int8 trunk (orig generator only; lossy — see "
-                        "docs/PERF.md)")
+                   help="W8A8 int8 trunk+tail (orig generator only; "
+                        "lossy — see docs/PERF.md)")
+    p.add_argument("--turbo-tail", action="store_true",
+                   help="bf16 trunk + W8A8 tail: the fastest mode inside "
+                        "the ≤0.1 dB quality budget (orig generator only)")
     p.add_argument("--dp", type=int, default=None, metavar="N",
                    help="Data-parallel inference over the first N devices "
                         "(frames batch-sharded over a 1-D mesh, params "
                         "replicated)")
+    p.add_argument("--no-stream", action="store_true",
+                   help="Disable chunked streaming dispatch (fall back to "
+                        "the per-frame loop)")
+    p.add_argument("--chunk-frames", type=int, default=8,
+                   help="Frames per device chunk in streaming mode")
+    p.add_argument("--chunks-per-dispatch", type=int, default=16,
+                   help="Chunks scanned inside one dispatch in streaming "
+                        "mode")
     args = p.parse_args(argv)
 
     cfg = RunConfig.load(os.path.join(args.run_dir, "parameters.json"))
@@ -77,8 +91,12 @@ def main(argv=None):
                          ext=args.ext)
 
     apply_fn = lambda prm, x: model.apply({"params": prm}, x)
-    if args.turbo and cfg.model.generator != "orig":
-        raise SystemExit("--turbo supports the 'orig' generator only")
+    apply_fn_u8 = None
+    if (args.turbo or args.turbo_tail) and cfg.model.generator != "orig":
+        raise SystemExit("--turbo/--turbo-tail support the 'orig' "
+                         "generator only")
+    quant_mode = True if args.turbo else ("tail" if args.turbo_tail
+                                          else False)
     if cfg.model.generator == "orig":
         # fused-kernel inference runner (Pallas conv+IN trunk, prepacked
         # phase tail; --turbo switches the trunk to W8A8) — ~4x the
@@ -88,10 +106,11 @@ def main(argv=None):
 
         runner = make_fast_orig(params, cfg.model, factor,
                                 (args.tile_height, args.tile_width),
-                                quant=args.turbo, dtype=dtype)
+                                quant=quant_mode, dtype=dtype)
         if runner is not None:
             params = runner.qp
             apply_fn = runner.apply
+            apply_fn_u8 = runner.apply_u8
             if runner.tail_quant_ready:
                 # int8 tail needs activation scales from a real frame:
                 # calibrate on the first source frame, then reopen
@@ -118,11 +137,30 @@ def main(argv=None):
 
         mesh = make_mesh(args.dp)
 
-    result = upscale_clip(
-        apply_fn, params, source, sink,
-        frame_hw=frame_hw, tile_hw=(args.tile_height, args.tile_width),
-        overlap=args.overlap, upscale_factor=factor,
-        max_frames=args.max_frames, mesh=mesh)
+    if mesh is None and not args.no_stream:
+        # streaming chunked dispatch — the headline-speed path (uint8
+        # host<->device, lax.scan over chunks; video/infer.py docstring).
+        # Shrink the superbatch for short known-length clips so padding
+        # never dominates.
+        k, f = args.chunks_per_dispatch, args.chunk_frames
+        n_known = args.max_frames
+        if n_known is None and hasattr(source, "__len__"):
+            n_known = len(source)
+        if n_known is not None:
+            f = max(1, min(f, n_known))
+            k = max(1, min(k, -(-n_known // f)))
+        result = upscale_clip_stream(
+            apply_fn, params, source, sink,
+            frame_hw=frame_hw, tile_hw=(args.tile_height, args.tile_width),
+            overlap=args.overlap, upscale_factor=factor,
+            max_frames=args.max_frames, chunk_frames=f,
+            chunks_per_dispatch=k, apply_fn_u8=apply_fn_u8)
+    else:
+        result = upscale_clip(
+            apply_fn, params, source, sink,
+            frame_hw=frame_hw, tile_hw=(args.tile_height, args.tile_width),
+            overlap=args.overlap, upscale_factor=factor,
+            max_frames=args.max_frames, mesh=mesh)
     print(json.dumps({"frames": result["frames"], "fps": result["fps"]}))
     return result
 

@@ -69,14 +69,19 @@ def prepack_head_s48(w9: jax.Array, c_up: int):
 
 
 def head_conv_s48(q1: jax.Array, wq: jax.Array, ws, bias96: jax.Array,
-                  px: tuple) -> jax.Array:
+                  px: tuple, emit_u8: bool = False) -> jax.Array:
     """q1 [N,H,W2,8C] -> tanh'd f32 [N,H/2,W2/2,96] (S=(4,8) phase-major
     channels; finish with depth_to_space_axes(.,4,8)).
 
     wq [6,4,8C,96] from ``prepack_head_s48``. int8 path (W8A8): wq int8
     and ws f32 [96] per-out-channel dequant scales with the activation
     scale folded in by the caller. bf16 path: wq bf16, ws None.
-    bias96 f32 [96] (jnp.tile(bias, 32))."""
+    bias96 f32 [96] (jnp.tile(bias, 32)).
+
+    ``emit_u8``: fold the codec emit (ops/codec.py unit_to_uint8) into
+    the conv epilogue — the HR stream then leaves the head as uint8, so
+    the depth_to_space relayout and every downstream pass move 1 byte/px
+    instead of 4 (the clip path's operating mode)."""
     acc_t = jnp.int32 if q1.dtype == jnp.int8 else jnp.float32
     acc = lax.conv_general_dilated(
         q1, wq, (2, 2), ((2, 3), px),
@@ -85,4 +90,8 @@ def head_conv_s48(q1: jax.Array, wq: jax.Array, ws, bias96: jax.Array,
     yp = acc.astype(jnp.float32)
     if ws is not None:
         yp = yp * ws[None, None, None, :]
-    return jnp.tanh(yp + bias96[None, None, None, :])
+    yp = jnp.tanh(yp + bias96[None, None, None, :])
+    if emit_u8:
+        return jnp.clip(jnp.round((yp + 1.0) * 127.5), 0, 255
+                        ).astype(jnp.uint8)
+    return yp

@@ -69,13 +69,21 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 def _pick_th(h: int, wp: int, cp: int, kh: int, kw: int, *, has_res: bool,
              quant: bool) -> int:
     """Largest even divisor of h whose working set fits the VMEM budget
-    (None if h has no suitable divisor — caller falls back to XLA)."""
+    (None if h has no suitable divisor — caller falls back to XLA).
+
+    The sliver index maps express halo offsets in units of the sliver
+    block height (halo_lo / halo_hi rows), so th must be divisible by
+    both — automatic for kh in {3,5}, a real constraint for kh >= 7."""
     halo = kh - 1
+    halo_lo = halo // 2
+    halo_hi = halo - halo_lo
     in_bytes = 2  # bf16 streams
     xcat_bytes = 1 if quant else 2
     best = None
     for th in range(2, h + 1, 2):
         if h % th:
+            continue
+        if (halo_lo and th % halo_lo) or (halo_hi and th % halo_hi):
             continue
         rows = th + halo
         x_in = (th + halo) * wp * cp * in_bytes * 2          # cur + slivers, dbuf
@@ -92,7 +100,8 @@ def _pick_th(h: int, wp: int, cp: int, kh: int, kw: int, *, has_res: bool,
 
 
 def _kernel(*refs, th: int, kh: int, kw: int, pre: str, act: str,
-            quant: bool, px_l: int, qscale: float, split: bool = False):
+            quant: bool, px_l: int, qscale: float, split: bool = False,
+            partial_stats: bool = False):
     """Grid (N, H//TH). refs layout (inputs then outputs):
 
     x_top, x_cur, x_bot, [r_top, r_cur, r_bot,] [scale, shift,] [alpha,]
@@ -214,15 +223,23 @@ def _kernel(*refs, th: int, kh: int, kw: int, pre: str, act: str,
     s1 = jnp.sum(accf, axis=(0, 1))
     s2 = jnp.sum(accf * accf, axis=(0, 1))
 
-    @pl.when(i == 0)
-    def _():
-        stats_ref[0, 0, :] = s1
-        stats_ref[0, 1, :] = s2
+    if partial_stats:
+        # per-step partial stats: every grid step owns a distinct output
+        # block, so the whole grid is free of cross-step dependencies —
+        # no revisited output for Mosaic to serialize on. XLA reduces the
+        # [N, H//TH, 2, Cp] partials outside the kernel (trivial bytes).
+        stats_ref[0, 0, 0, :] = s1
+        stats_ref[0, 0, 1, :] = s2
+    else:
+        @pl.when(i == 0)
+        def _():
+            stats_ref[0, 0, :] = s1
+            stats_ref[0, 1, :] = s2
 
-    @pl.when(i > 0)
-    def _():
-        stats_ref[0, 0, :] = stats_ref[0, 0, :] + s1
-        stats_ref[0, 1, :] = stats_ref[0, 1, :] + s2
+        @pl.when(i > 0)
+        def _():
+            stats_ref[0, 0, :] = stats_ref[0, 0, :] + s1
+            stats_ref[0, 1, :] = stats_ref[0, 1, :] + s2
 
 
 def fused_conv_stats(
@@ -238,6 +255,7 @@ def fused_conv_stats(
     res: Optional[jax.Array] = None,
     quant: bool = False,
     qscale: float = QSCALE,
+    stats_mode: Optional[str] = None,
     interpret: Optional[bool] = None,
 ):
     """One fused trunk step: y = conv(pre(x)), stats(y); optionally h'.
@@ -252,6 +270,11 @@ def fused_conv_stats(
          'affine_res' (z = x*scale+shift+res, also returned as h').
     scale/shift: [N,Cp] f32; alpha: [Cp] f32 (PReLU slopes, packed).
     quant: int8 conv-input quantization at static QSCALE + int8 weights.
+    stats_mode: 'revisit' (accumulate into a revisited [N,2,Cp] block —
+    the inner grid dim is then 'arbitrary') or 'partial' (each step
+    writes its own [1,1,2,Cp] partial and the grid is fully parallel;
+    XLA sums the partials). Default from $VCGU_STATS_MODE, else
+    'revisit'. Both return the same summed [N,2,Cp].
 
     Returns (y, stats) or (y, h, stats); y [N,H,Wp,Cp] bf16,
     stats [N,2,Cp] f32 (sum, sum of squares over H*Wp per lane).
@@ -272,7 +295,17 @@ def fused_conv_stats(
         return _reference(x, w, pads=pads, pre=pre, act=act, scale=scale,
                           shift=shift, alpha=alpha, res=res, quant=quant,
                           qscale=qscale)
-    assert th % halo_lo == 0 if halo_lo else True
+    import os as _os
+
+    if stats_mode is None:
+        stats_mode = _os.environ.get("VCGU_STATS_MODE", "revisit")
+    assert stats_mode in ("revisit", "partial"), stats_mode
+    partial = stats_mode == "partial"
+    # sliver index maps express the halo offset in units of the sliver
+    # block height, so that height must divide th (true for kh in
+    # {3,5,...}: halo_lo/halo_hi <= 2 and th is even)
+    assert (halo_lo == 0 or th % halo_lo == 0) and \
+        (halo_hi == 0 or th % halo_hi == 0), (th, kh)
     grid = (n, h // th)
     n_i = h // th
 
@@ -316,16 +349,22 @@ def fused_conv_stats(
     if pre == "affine_res":
         out_shapes += [jax.ShapeDtypeStruct((n, h, wp, cp), jnp.bfloat16)]
         out_specs += [blk(th, cur_map)]
-    out_shapes += [jax.ShapeDtypeStruct((n, 2, cp), jnp.float32)]
-    out_specs += [pl.BlockSpec((1, 2, cp), lambda ni, i: (ni, 0, 0),
-                               memory_space=pltpu.VMEM)]
-
-    import os as _os
+    if partial:
+        out_shapes += [jax.ShapeDtypeStruct((n, n_i, 2, cp), jnp.float32)]
+        out_specs += [pl.BlockSpec((1, 1, 2, cp), lambda ni, i: (ni, i, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+        semantics = ("parallel", "parallel")
+    else:
+        out_shapes += [jax.ShapeDtypeStruct((n, 2, cp), jnp.float32)]
+        out_specs += [pl.BlockSpec((1, 2, cp), lambda ni, i: (ni, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+        semantics = ("parallel", "arbitrary")
 
     split = _os.environ.get("VCGU_TRUNK_SPLIT", "0") == "1"
     kernel = functools.partial(_kernel, th=th, kh=kh, kw=kw, pre=pre,
                                act=act, quant=quant, px_l=px_l,
-                               qscale=qscale, split=split)
+                               qscale=qscale, split=split,
+                               partial_stats=partial)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -333,9 +372,12 @@ def fused_conv_stats(
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=semantics),
         interpret=interpret,
     )(*args)
+    out = list(out)
+    if partial:
+        out[-1] = jnp.sum(out[-1], axis=1)  # [N, n_i, 2, Cp] -> [N, 2, Cp]
     return tuple(out)
 
 

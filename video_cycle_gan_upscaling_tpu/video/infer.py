@@ -17,6 +17,104 @@ from video_cycle_gan_upscaling_tpu.data.pipeline import prefetch_to_device
 from video_cycle_gan_upscaling_tpu.video.tiles import make_tiled_upscaler
 
 
+def upscale_clip_stream(apply_fn: Callable, params, source, sink=None,
+                        frame_hw: Tuple[int, int] = (540, 960),
+                        tile_hw: Tuple[int, int] = (540, 960),
+                        overlap: int = 16, upscale_factor: int = 2,
+                        max_frames: Optional[int] = None,
+                        chunk_frames: int = 8,
+                        chunks_per_dispatch: int = 16,
+                        apply_fn_u8: Callable = None) -> dict:
+    """Streaming clip upscale — the headline-speed product path.
+
+    The per-frame loop below (``upscale_clip``) pays one dispatch + one
+    f32 host->device push per frame; on the tunneled TPU platform that is
+    a ~29 ms RPC floor each way. This path instead feeds the SAME
+    lax.scan-over-chunks graph the benchmark measures
+    (video/tiles.py upscale_clip_u8): decode -> uint8 host->device (4x
+    less tunnel traffic than f32) -> one dispatch per
+    ``chunks_per_dispatch`` x ``chunk_frames`` frames -> uint8 out, with
+    a one-deep pipeline so the host decodes superbatch k+1 and drains
+    k-1 while the device computes k. Replaces the reference's per-frame
+    ``predict`` loop (upscaler_mini_testing.ipynb cell 18).
+
+    A short final superbatch is padded by repeating its last frame (the
+    padded outputs are dropped before the sink). fps excludes the first
+    (compile/warmup) superbatch; with a single superbatch fps is 0.0.
+    """
+    from video_cycle_gan_upscaling_tpu.video.io import (
+        iter_frames_uint8,
+        write_frame_uint8,
+    )
+
+    upscale = make_tiled_upscaler(apply_fn, frame_hw, tile_hw, overlap,
+                                  upscale_factor, apply_fn_u8=apply_fn_u8)
+    k, f = chunks_per_dispatch, chunk_frames
+    run = jax.jit(upscale.clip_u8)
+
+    n_in = 0
+    n_out = 0
+    first_out = None
+    t0 = None
+    timed = 0
+    pending = None  # (device uint8 [K,F,H',W',3], real frame count)
+    groups = 0
+
+    def emit(pend):
+        nonlocal first_out, n_out
+        if pend is None:
+            return
+        out, real = pend
+        host = np.asarray(out).reshape(-1, *out.shape[2:])[:real]
+        if first_out is None and len(host):
+            first_out = host[0]
+        if sink is not None:
+            for fr in host:
+                write_frame_uint8(sink, fr)
+        n_out += len(host)
+
+    def dispatch(frames, real):
+        nonlocal pending, groups, t0, timed
+        while len(frames) < k * f:  # pad short tail superbatch
+            frames.append(frames[-1])
+        clip = np.stack(frames).reshape(k, f, *frames[0].shape)
+        out = run(params, clip)
+        if groups == 0:
+            # warmup: complete compute AND the device->host fetch outside
+            # the timed window (the host round-trip is the only reliable
+            # completion barrier on the tunneled platform)
+            emit((out, real))
+            t0 = time.perf_counter()
+        else:
+            emit(pending)  # previous superbatch's fetch overlaps this compute
+            pending = (out, real)
+            timed += real
+        groups += 1
+
+    buf = []
+    for i, frame in enumerate(iter_frames_uint8(source)):
+        if max_frames is not None and i >= max_frames:
+            break
+        buf.append(np.ascontiguousarray(frame, np.uint8))
+        n_in += 1
+        if len(buf) == k * f:
+            dispatch(buf, k * f)
+            buf = []
+    if buf:
+        dispatch(buf, len(buf))
+    emit(pending)
+    seconds = (time.perf_counter() - t0) if (t0 is not None and timed) else 0.0
+    if sink is not None and hasattr(sink, "close"):
+        sink.close()
+    return {
+        "frames": n_in,
+        "seconds": seconds,
+        "fps": (timed / seconds) if seconds > 0 else 0.0,
+        # uint8 frame (codec-parity output format of the streaming graph)
+        "first_frame": first_out,
+    }
+
+
 def upscale_clip(apply_fn: Callable, params, source, sink=None,
                  frame_hw: Tuple[int, int] = (540, 960),
                  tile_hw: Tuple[int, int] = (135, 240),

@@ -44,6 +44,13 @@ class ImageDirSource:
             img = Image.open(os.path.join(self.directory, f)).convert("RGB")
             yield uint8_to_unit(np.asarray(img, dtype=np.uint8))
 
+    def iter_uint8(self) -> Iterator[np.ndarray]:
+        """Raw uint8 frames (no [-1,1] detour) — the streaming clip path
+        converts on device, so host->device traffic stays 1 byte/px."""
+        for f in self.files:
+            img = Image.open(os.path.join(self.directory, f)).convert("RGB")
+            yield np.asarray(img, dtype=np.uint8)
+
 
 class ImageDirSink:
     """Writes float [-1,1] frames as numbered JPEG/PNG files."""
@@ -58,8 +65,14 @@ class ImageDirSink:
         self._idx = 0
 
     def write(self, frame: np.ndarray) -> str:
+        frame = np.asarray(frame)
+        if frame.dtype != np.uint8:
+            frame = unit_to_uint8(frame)
+        return self.write_uint8(frame)
+
+    def write_uint8(self, frame_u8: np.ndarray) -> str:
         path = os.path.join(self.directory, f"{self.prefix}_{self._idx:06d}{self.ext}")
-        img = Image.fromarray(unit_to_uint8(np.asarray(frame)))
+        img = Image.fromarray(frame_u8)
         if self.ext in (".jpg", ".jpeg"):
             img.save(path, quality=self.quality)
         else:
@@ -104,7 +117,11 @@ class Y4mSink:
         self.fh.write(_Y4M_MAGIC + f" W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode())
 
     def write(self, frame: np.ndarray) -> None:
-        u8 = unit_to_uint8(np.asarray(frame))
+        frame = np.asarray(frame)
+        u8 = frame if frame.dtype == np.uint8 else unit_to_uint8(frame)
+        self.write_uint8(u8)
+
+    def write_uint8(self, u8: np.ndarray) -> None:
         yuv = _rgb_to_yuv444(u8)
         self.fh.write(b"FRAME\n")
         # planar: Y plane, U plane, V plane
@@ -136,6 +153,10 @@ class Y4mSource:
             raise ValueError(f"only C444 supported, got {colorspace!r}")
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        for rgb in self.iter_uint8():
+            yield uint8_to_unit(rgb)
+
+    def iter_uint8(self) -> Iterator[np.ndarray]:
         plane = self.width * self.height
         while True:
             marker = self.fh.readline()
@@ -147,8 +168,7 @@ class Y4mSource:
             if len(raw) < 3 * plane:
                 return
             yuv = np.frombuffer(raw, np.uint8).reshape(3, self.height, self.width)
-            rgb = _yuv444_to_rgb(np.moveaxis(yuv, 0, -1))
-            yield uint8_to_unit(rgb)
+            yield _yuv444_to_rgb(np.moveaxis(yuv, 0, -1))
 
 
 # ---------------------------------------------------------------- ffmpeg
@@ -170,6 +190,10 @@ class FfmpegSource:
             stdout=subprocess.PIPE)
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        for u8 in self.iter_uint8():
+            yield uint8_to_unit(u8)
+
+    def iter_uint8(self) -> Iterator[np.ndarray]:
         h, w = self.size_hw
         nbytes = h * w * 3
         while True:
@@ -177,7 +201,7 @@ class FfmpegSource:
             if len(raw) < nbytes:
                 self.proc.wait()
                 return
-            yield uint8_to_unit(np.frombuffer(raw, np.uint8).reshape(h, w, 3))
+            yield np.frombuffer(raw, np.uint8).reshape(h, w, 3)
 
 
 class FfmpegSink:
@@ -196,7 +220,12 @@ class FfmpegSink:
             stdin=subprocess.PIPE)
 
     def write(self, frame: np.ndarray) -> None:
-        self.proc.stdin.write(unit_to_uint8(np.asarray(frame)).tobytes())
+        frame = np.asarray(frame)
+        u8 = frame if frame.dtype == np.uint8 else unit_to_uint8(frame)
+        self.write_uint8(u8)
+
+    def write_uint8(self, u8: np.ndarray) -> None:
+        self.proc.stdin.write(u8.tobytes())
 
     def close(self):
         self.proc.stdin.close()
@@ -214,6 +243,24 @@ def open_source(path: str, size_hw: Optional[Tuple[int, int]] = None,
     if size_hw is None:
         raise ValueError("size_hw required for ffmpeg containers")
     return FfmpegSource(path, size_hw)
+
+
+def iter_frames_uint8(source) -> Iterator[np.ndarray]:
+    """Iterate uint8 HWC frames from any source; native ``iter_uint8``
+    when available, else converted from the float protocol."""
+    if hasattr(source, "iter_uint8"):
+        return source.iter_uint8()
+    return (f if np.asarray(f).dtype == np.uint8
+            else unit_to_uint8(np.asarray(f)) for f in source)
+
+
+def write_frame_uint8(sink, u8: np.ndarray) -> None:
+    """Write a uint8 frame to any sink; native ``write_uint8`` when
+    available, else via the float protocol."""
+    if hasattr(sink, "write_uint8"):
+        sink.write_uint8(u8)
+    else:
+        sink.write(uint8_to_unit(u8))
 
 
 def open_sink(path: str, size_hw: Tuple[int, int], fps: int = 25,

@@ -94,7 +94,8 @@ def merge_tiles(tiles: jax.Array, positions: Sequence[Tuple[int, int]],
 def make_tiled_upscaler(apply_fn: Callable, frame_hw: Tuple[int, int],
                         tile_hw: Tuple[int, int] = (135, 240),
                         overlap: int = 16, upscale_factor: int = 4,
-                        tile_batch: int = 0) -> Callable:
+                        tile_batch: int = 0,
+                        apply_fn_u8: Callable = None) -> Callable:
     """Build jitted ``upscale(params, frame_lr[H,W,C]) -> frame_hr``.
 
     ``apply_fn(params, lr_batch) -> hr_batch`` is a generator forward
@@ -102,6 +103,9 @@ def make_tiled_upscaler(apply_fn: Callable, frame_hw: Tuple[int, int],
     must cover the generator's effective receptive-field halo — the
     ≤0.1 dB PSNR budget is validated empirically in tests/bench.
     ``tile_batch``: process tiles in fixed chunks (0 = all at once).
+    ``apply_fn_u8``: optional codec-uint8-emitting forward (e.g.
+    FastOrigRunner.apply_u8) — used by the clip paths at single-tile
+    geometry so no f32 HR tensor is ever materialized.
     """
     positions = plan_tiles(frame_hw, tile_hw, overlap)
     f = upscale_factor
@@ -130,11 +134,19 @@ def make_tiled_upscaler(apply_fn: Callable, frame_hw: Tuple[int, int],
             hr_tiles = apply_fn(params, tiles)
         return merge_tiles(hr_tiles, hr_positions, hr_windows, hr_frame)
 
+    # single whole-frame tile (the flagship 540p operating point,
+    # docs/PERF.md overlap sweep): the blend windows are identically 1.0,
+    # so skip split/merge entirely — merge_tiles would otherwise burn two
+    # full-HR f32 passes (weighted scatter-add + renormalize) on a no-op
+    single_tile = len(positions) == 1 and tuple(tile_hw) == tuple(frame_hw)
+
     @jax.jit
     def upscale_batch(params, frames_lr: jax.Array) -> jax.Array:
         """[F,H,W,C] -> [F,H*f,W*f,C]: tiles of all frames batched through
         one generator call (amortizes per-call overhead, feeds the MXU a
         bigger batch)."""
+        if single_tile:
+            return apply_fn(params, frames_lr)
         f_n = frames_lr.shape[0]
         tiles = jax.vmap(lambda fr: split_tiles(fr, positions, tile_hw))(frames_lr)
         flat = tiles.reshape(-1, *tiles.shape[2:])
@@ -155,10 +167,36 @@ def make_tiled_upscaler(apply_fn: Callable, frame_hw: Tuple[int, int],
         output 4x smaller than f32 in HBM."""
         from video_cycle_gan_upscaling_tpu.ops.codec import unit_to_uint8
 
+        def batch_u8(params, frames):
+            if single_tile and apply_fn_u8 is not None:
+                # uint8 emitted straight from the generator's head epilogue
+                return apply_fn_u8(params, frames)
+            return unit_to_uint8(upscale_batch(params, frames))
+
         def body(carry, frames):
-            return carry, unit_to_uint8(upscale_batch(params, frames))
+            return carry, batch_u8(params, frames)
 
         _, out = jax.lax.scan(body, None, clip_lr)
+        return out
+
+    @jax.jit
+    def upscale_clip_u8(params, clip_u8: jax.Array) -> jax.Array:
+        """uint8 [K,F,H,W,C] -> uint8 [K,F,H*f,W*f,C]: ``upscale_clip``
+        with the input ALSO in codec uint8, decoded to [-1,1] on device —
+        the streaming product path (video/infer.py upscale_clip_stream):
+        host->device tunnel traffic drops 4x vs f32 frames."""
+        from video_cycle_gan_upscaling_tpu.ops.codec import (
+            uint8_to_unit,
+            unit_to_uint8,
+        )
+
+        def body(carry, frames_u8):
+            x = uint8_to_unit(frames_u8)
+            if single_tile and apply_fn_u8 is not None:
+                return carry, apply_fn_u8(params, x)
+            return carry, unit_to_uint8(upscale_batch(params, x))
+
+        _, out = jax.lax.scan(body, None, clip_u8)
         return out
 
     def upscale_one(params, frame_lr):
@@ -166,4 +204,5 @@ def make_tiled_upscaler(apply_fn: Callable, frame_hw: Tuple[int, int],
 
     upscale_one.batch = upscale_batch
     upscale_one.clip = upscale_clip
+    upscale_one.clip_u8 = upscale_clip_u8
     return upscale_one
