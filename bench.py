@@ -68,20 +68,21 @@ def _psnr(a, b):
     return 10 * np.log10(4.0 / max(mse, 1e-12))
 
 
-def _real_frame_540p():
+def _real_frame_540p(name="input_480x270.png"):
     """Real-content 540x960 frame in [-1,1] from the committed demo
-    artifact (a reference BtoA movie frame, docs/demo/input_480x270.png),
-    BICUBIC-resized to the bench geometry. Falls back to noise only if
-    the artifact is missing."""
+    artifacts (reference movie frames: the BtoA demo frame for
+    CALIBRATION, the ukiyo frame for held-out quality EVAL), resized to
+    the bench geometry. Falls back to noise only if missing."""
     import os
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "docs", "demo", "input_480x270.png")
+                        "docs", "demo", name)
     try:
         from PIL import Image
 
         img = Image.open(path).convert("RGB").resize(
-            (FRAME_HW[1], FRAME_HW[0]), Image.BICUBIC)
+            (FRAME_HW[1], FRAME_HW[0]),
+            Image.LANCZOS if name.startswith("eval") else Image.BICUBIC)
         arr = np.asarray(img, np.float32) / 127.5 - 1.0
         return jnp.asarray(arr, jnp.float32)
     except Exception as e:  # pragma: no cover
@@ -179,12 +180,11 @@ def bench_tiled_inference():
         if tag not in results:
             log(f"{tag}: all batch sizes failed")
 
-    # quality gate on a REAL frame (the committed demo-artifact movie
-    # frame — the quantized paths were also CALIBRATED on real content
-    # above), against the budget-derived gate. Headline = the fastest
-    # mode that clears the gate; quantized modes that miss it are
-    # reported as lossy turbo secondaries.
-    frame = cal_frame
+    # quality gate on a HELD-OUT real frame (a different reference movie
+    # frame than the calibration content), against the budget-derived
+    # gate. Headline = the fastest mode that clears the gate; quantized
+    # modes that miss it are reported as lossy turbo secondaries.
+    frame = _real_frame_540p("eval_ukiyo_1080p.jpg")
     headline = "bf16"
     if "bf16" in results:
         out_b = jax.jit(results["bf16"][1])(runners["bf16"][1], frame)

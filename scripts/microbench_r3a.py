@@ -78,7 +78,7 @@ def main():
         r = FastOrigRunner(params32, res_block_num=16, upscale_factor=FACTOR,
                            tile_hw=FRAME_HW, quant=True, stats_mode=mode)
         qp = jax.device_put(r.qp)
-        qp = jax.jit(r.calibrate)(qp, xs[4][:1])
+        qp = r.calibrate(qp, xs[4][:1])  # not jitted: host-side refold
         runners[mode] = (r, jax.device_put(qp))
 
     stems = {}

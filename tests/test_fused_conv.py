@@ -213,14 +213,15 @@ def test_fast_orig_runner_apply_u8_matches_apply(quant):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("factor", [2, 4])
 @pytest.mark.parametrize("quant", [True, "tail"])
-def test_fast_orig_runner_int8_tail(quant):
-    """Calibrated W8A8 tail (full-int8 and tail-only modes): still
-    high-PSNR vs the reference model; tail-only must beat full int8."""
+def test_fast_orig_runner_int8_tail(quant, factor):
+    """Calibrated W8A8 tail (full-int8 and tail-only modes, x2 and the
+    chained x4 x-pack): still high-PSNR vs the reference model."""
     from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
     from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
 
-    model = UpscalerOrig(kernel_size=5, filters=8, upscale_factor=2,
+    model = UpscalerOrig(kernel_size=5, filters=8, upscale_factor=factor,
                          res_block_num=2, dtype=jnp.float32, phase_tail=True)
     x = _mk(jax.random.PRNGKey(8), (1, 12, 16, 3), 0.5)
     variables = model.init(jax.random.PRNGKey(9), x)
@@ -229,8 +230,9 @@ def test_fast_orig_runner_int8_tail(quant):
     pnorms.INTERPRET = True
     try:
         runner = FastOrigRunner(variables["params"], res_block_num=2,
-                                upscale_factor=2, tile_hw=(12, 16),
+                                upscale_factor=factor, tile_hw=(12, 16),
                                 quant=quant, dtype=jnp.float32)
+        assert runner.xpack_ready
         assert runner.tail_quant_ready
         assert runner.quant == (quant is True)
         qp = runner.calibrate(runner.qp, x)
@@ -238,6 +240,7 @@ def test_fast_orig_runner_int8_tail(quant):
         got = runner.apply(qp, x)
     finally:
         pnorms.INTERPRET = False
+    assert got.shape == ref.shape
     mse = float(np.mean((np.asarray(got, np.float32)
                          - np.asarray(ref, np.float32)) ** 2))
     psnr = 10 * np.log10(4.0 / max(mse, 1e-12))

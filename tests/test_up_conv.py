@@ -60,7 +60,7 @@ def test_up_conv_fused_matches_oracle(quant, interpret):
 def test_plan_flagship_geometry():
     """The flagship 540p geometry must take the Pallas path with full-lane
     tiles."""
-    plan = upc._plan(540, 480, 128, 2048, quant=True)
+    plan = upc._plan(540, 960, 64, 1024, 3, quant=True)
     assert plan is not None
     th, co_t = plan
     assert 540 % th == 0 and co_t % 128 == 0

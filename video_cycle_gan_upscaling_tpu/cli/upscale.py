@@ -120,7 +120,8 @@ def main(argv=None):
                     tile = np.ascontiguousarray(
                         first[:args.tile_height, :args.tile_width],
                         np.float32)[None]
-                    params = jax.jit(runner.calibrate)(
+                    # NOT jitted: calibrate refolds weights host-side
+                    params = runner.calibrate(
                         jax.device_put(params), jnp.asarray(tile))
         elif args.turbo:
             from video_cycle_gan_upscaling_tpu.models.quantized import (

@@ -35,6 +35,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from video_cycle_gan_upscaling_tpu.ops import nn as vops
 from video_cycle_gan_upscaling_tpu.ops import subpixel as sp
@@ -60,10 +61,11 @@ class FastOrigRunner:
                  filters: Optional[int] = None, quant=False,
                  dtype=jnp.bfloat16, stats_mode: Optional[str] = None):
         """``quant``: False = bf16 everywhere; True = W8A8 trunk AND
-        (after calibrate()) W8A8 tail; "tail" = bf16 trunk + W8A8 tail —
-        the tail contributes far less quantization error than the trunk
-        (docs/PERF.md round-3 isolation), so tail-only turbo is the
-        fastest mode that can clear the ≤0.1 dB budget gate."""
+        (after calibrate()) all-W8A8 tail; "tail" = bf16 trunk + HYBRID
+        tail (W8A8 up conv, bf16 head) — the budget mode: the trunk
+        dominates full-int8 error and the head stages dominate the
+        all-int8 tail's (docs/PERF.md round-3 isolations), so this is
+        the fastest mode that clears the ≤0.1 dB budget gate."""
         assert quant in (False, True, "tail"), quant
         self.stats_mode = stats_mode  # None -> fused_conv env default
         c = filters or params["initial_conv"]["kernel"].shape[-1]
@@ -71,6 +73,14 @@ class FastOrigRunner:
         self.res_block_num = res_block_num
         self.quant = quant is True          # trunk quantization
         self.tail_quant = quant in (True, "tail")
+        # "tail" (budget mode) runs a HYBRID tail: int8 up conv + bf16
+        # head. Stage isolation (scripts/quant_decomp.py) puts ~65% of
+        # the all-int8 tail's MSE in the head's input requant + weight
+        # rounding; dropping them buys ~+4.5 dB — the margin that clears
+        # the ≤0.1 dB budget gate (bench.py) — for ~2 fps. Full turbo
+        # (quant=True) keeps the all-int8 tail: its trunk error
+        # dominates anyway and speed is its point.
+        self.head_quant = quant is True
         quant = self.quant
         self.dtype = dtype
         self.times = int(math.log2(upscale_factor))
@@ -90,11 +100,17 @@ class FastOrigRunner:
             "stem_alpha": params["initial_prelu"]["alpha"],
         }
         self.pads: Dict[str, Tuple[int, int]] = {}
+        # host-side f32 packed masters (quant mode): calibrate() refolds
+        # per-channel activation scales into these and re-quantizes
+        self._trunk_masters: Dict[str, Any] = {}
 
         def pack_w(tag, kern):
             mat, pads = fc.pack_conv_kernel(kern, pack, quant=quant)
             qp[tag] = mat
             self.pads[tag] = pads
+            if quant:
+                raw, _ = fc.pack_conv_kernel(kern, pack, raw=True)
+                self._trunk_masters[tag] = np.asarray(raw, np.float32)
 
         def tile_c(v):
             return jnp.tile(v.astype(jnp.float32), pack)
@@ -108,6 +124,13 @@ class FastOrigRunner:
             qp[f"alpha_{i}"] = tile_c(blk["prelu"]["alpha"])
             qp[f"g2_{i}"] = blk["norm_post"]["scale"].astype(jnp.float32)
             qp[f"b2_{i}"] = blk["norm_post"]["bias"].astype(jnp.float32)
+            if quant:
+                # per-lane activation quant scales (calibrate() replaces
+                # the static defaults with measured per-channel values —
+                # same pytree structure, so no retrace)
+                qp[f"qs_a_{i}"] = jnp.full((self.cp,), QSCALE, jnp.float32)
+                qp[f"qs_r_{i}"] = jnp.full((self.cp,), RES_QSCALE,
+                                           jnp.float32)
         pack_w("w_prefinal", params["prefinal_conv"]["kernel"])
         qp["g_pf"] = params["prefinal_norm"]["scale"].astype(jnp.float32)
         qp["b_pf"] = params["prefinal_norm"]["bias"].astype(jnp.float32)
@@ -136,12 +159,6 @@ class FastOrigRunner:
         asym_ok = _os.environ.get("VCGU_ASYM_HEAD", "0") == "1"
         if self.block0 == 2 and (gw % 2 == 0) and asym_ok:
             self.final_mode = "asym"
-        elif self.block0 == 1:
-            for e in (4, 2):
-                if gh % e == 0 and gw % e == 0:
-                    extra = e
-                    break
-        self.extra = extra
         qp["final_b"] = params["final_conv"]["bias"]
 
         # x-packed tail (the shipped fast path, bf16 AND int8): W-pairs of
@@ -150,37 +167,73 @@ class FastOrigRunner:
         # r=2-blocked transpose kernel), and the 9x9 head runs in the
         # stride-(2,2) S=(4,8) form straight on that layout (96 of 128
         # output lanes, zero relayouts — ops/head_conv.py; layout A/Bs in
-        # docs/PERF.md). The r-blocked path below serves the remaining
-        # configs (multi-upsample tails, odd tiles, the asym experiment).
-        self.xpack_ready = (self.times == 1 and self.final_mode == "square"
-                            and extra == 1 and h % 2 == 0 and w % 4 == 0)
+        # docs/PERF.md). times==2 (x4 — the reference's own demo factor,
+        # example_frame_test.ipynb 480x270->1080p) CHAINS the structure:
+        # stage-0 pair up conv at LR, one cheap transpose to the
+        # canonical 2x stream, then the identical stage-1 tail. The
+        # r-blocked path below serves the remaining configs (deeper
+        # tails, odd tiles, the asym experiment).
+        self.xpack_ready = (self.final_mode == "square" and h % 2 == 0
+                            and ((self.times == 1 and w % 4 == 0)
+                                 or (self.times == 2 and w % 2 == 0)))
+        if not self.xpack_ready and self.block0 == 1:
+            for e in (4, 2):
+                if gh % e == 0 and gw % e == 0:
+                    extra = e
+                    break
+        self.extra = extra
         self.up_plans = []
-        self.up_fused_ok = False
+        self.up_fused = False
+        self._tail_masters: Dict[str, Any] = {}
         if self.xpack_ready:
-            up = params["upscale_0"]["conv_transp"]
+            if self.times == 2:
+                # x4 chain stage 0: the SAME pair-conv structure as the
+                # stage-1 up conv, evaluated at LR; its packed output
+                # unfolds to the canonical 2x stream by one transpose
+                # (_up0_to_canonical) and stage 1 below proceeds
+                # unchanged at (2h, 2w).
+                up0 = params["upscale_0"]["conv_transp"]
+                wp0, (q0y, q0x), (n0y, n0x) = sp._rearrange_transpose_kernel(
+                    up0["kernel"].astype(jnp.float32), 2)
+                wk0, p0y, p0x = sp.rearrange_same_kernel_axes(
+                    wp0, 1, 2, P_y=q0y, P_x=q0x)
+                self.up0_pads = (p0y, p0x)
+                qp["up0_w_x"] = wk0.astype(dtype)
+                qp["up0_b"] = up0["bias"]
+                self.c_mid = up0["kernel"].shape[-1]
+            up = params[f"upscale_{self.times - 1}"]["conv_transp"]
             qp["up_b_0"] = up["bias"]
             c_up = up["kernel"].shape[-1]
             wp_k, (q_y, q_x), (n_y, n_x) = sp._rearrange_transpose_kernel(
                 up["kernel"].astype(jnp.float32), 2)
-            # fused Pallas up conv (ops/pallas/up_conv.py) runs the
-            # UNPACKED [n_y,n_x,C,4C'] phase kernel directly (K = n_x*C
-            # per row tap — 2/3 of the W-pair-packed form's contraction
-            # work); requires the 5x5/s2 family's (1,1) row pads
-            self.up_fused_ok = (n_y == 3 and q_y == 1)
+            wk1, pads_y1, pads_x1 = sp.rearrange_same_kernel_axes(
+                wp_k, 1, 2, P_y=q_y, P_x=q_x)
+            self.up_pads_q = (pads_y1, pads_x1)
             wd, self.final_px_q = head_conv.prepack_head_s48(
                 w9.astype(jnp.float32), c_up)
+            qp["up_w_x"] = wk1.astype(dtype)
             qp["head_w_x"] = wd.astype(dtype)
-            if self.up_fused_ok:
+            # fused Pallas up conv on the UNPACKED [n_y,n_x,C,4C'] phase
+            # kernel (2/3 of the pair form's contraction FLOPs) measured
+            # SLOWER than XLA's pair conv end-to-end on v5e (33.7 vs
+            # 37.4 fps — per-step overhead + epilogue serialization,
+            # docs/PERF.md round 3); kept env-gated for experiments.
+            self.up_fused = (_os.environ.get("VCGU_UP_FUSED", "0") == "1"
+                             and self.times == 1 and n_y == 3 and q_y == 1)
+            if self.up_fused:
                 self.up_px = (q_x, n_x - 1 - q_x)
-                wmat = wp_k.reshape(n_y, n_x * wp_k.shape[2], 4 * c_up)
-                qp["up_w_p"] = wmat.astype(dtype)
-                if self.tail_quant:
-                    qp["up_w_f32"] = wmat
-            else:
-                wk1, pads_y1, pads_x1 = sp.rearrange_same_kernel_axes(
-                    wp_k, 1, 2, P_y=q_y, P_x=q_x)
-                self.up_pads_q = (pads_y1, pads_x1)
-                qp["up_w_x"] = wk1.astype(dtype)
+                qp["up_w_p"] = wp_k.reshape(
+                    n_y, n_x * wp_k.shape[2], 4 * c_up).astype(dtype)
+            if self.tail_quant:
+                self._tail_masters = {
+                    "up_pair": np.asarray(wk1, np.float32),
+                    "up_unpacked": np.asarray(wp_k, np.float32).reshape(
+                        n_y, n_x * wp_k.shape[2], 4 * c_up),
+                    "head": np.asarray(wd, np.float32),
+                }
+                if self.times == 2:
+                    self._tail_masters["up0_pair"] = np.asarray(
+                        wk0, np.float32)
         else:
             rr = self.block0
             for i in range(self.times):
@@ -219,72 +272,220 @@ class FastOrigRunner:
         # on a real frame; until calibrated the tail runs the bf16 x-pack.
         self.tail_quant_ready = False
         self.tail_calibrated = False
-        if self.tail_quant and self.xpack_ready and self.up_fused_ok:
-            # f32 masters for calibrate(): per-CHANNEL activation scales
-            # fold into the weights' input axes there, so the int8
-            # kernels are re-quantized from full-precision parameters.
-            # (up_w_f32 stored above.)
-            qp["head_w_f32"] = wd
+        if self.tail_quant and self.xpack_ready:
             # NOTE: tail_s0/tail_s1 (and up_w_q/final_w_q) appear only
             # via calibrate() — tail selection keys on the qp pytree
             # STRUCTURE, so jit retraces when (and only when) a
             # calibrated qp is passed; a stale or discarded-return qp
             # safely keeps the bf16 tail instead of dividing by a zero
-            # scale.
+            # scale. calibrate() folds per-channel activation scales
+            # into the f32 masters (host-side) and re-quantizes.
             self.tail_quant_ready = True
         self.qp = qp
 
     # -------------------------------------------------------- calibration
     def calibrate(self, qp: Dict[str, Any], x: jax.Array) -> Dict[str, Any]:
-        """Measure int8-tail activation scales on a sample batch (quant
-        mode). Returns qp with tail_s0/tail_s1 ADDED; idempotent
-        otherwise. Only the returned qp (whose pytree structure now
-        differs) runs the W8A8 tail — passing a stale qp, or reusing a
-        jit traced before calibration, safely keeps the bf16 tail.
+        """Measure per-CHANNEL activation quant scales on a sample batch
+        and fold them into the prepacked int8 weights (quant modes).
 
-        May be wrapped in jax.jit (pure array function today); callers
-        should prefer calling it plain — internals are jitted."""
+        Trunk (quant=True): per-layer per-lane abs-max of every
+        quantized conv input replaces the static QSCALE/RES_QSCALE
+        vectors, and the packed kernels are re-quantized from their f32
+        masters with the scales folded into the input axes — the qp
+        pytree STRUCTURE is unchanged, so existing jitted applies reuse
+        their trace.
+
+        Tail (quant=True or "tail"): returns qp with tail_s0/tail_s1
+        ADDED — the structure change is the tail selector (apply_tail
+        docstring); a stale/discarded qp safely keeps the bf16 tail.
+
+        NOT safe to wrap in jax.jit when quant=True (host-side weight
+        refold); call it plain — internals jit themselves."""
+        if self.quant:
+            _, amaxes = jax.jit(self._stem_trunk_amax)(qp, x)
+            amaxes = jax.device_get(amaxes)
+            qp = dict(qp)
+            for i in range(self.res_block_num):
+                tgt = {"qs_a": f"w_post_{i}",
+                       "qs_r": (f"w_pre_{i + 1}"
+                                if i + 1 < self.res_block_num
+                                else "w_prefinal")}
+                for kind, w_tag in tgt.items():
+                    tag = f"{kind}_{i}"
+                    qs = 127.0 / np.maximum(
+                        np.asarray(amaxes[tag], np.float32), 1e-6)
+                    qp[tag] = jnp.asarray(qs)
+                    qp[w_tag] = fc.quantize_packed_kernel(
+                        self._trunk_masters[w_tag], in_scales=qs,
+                        out_pack=self.pack)
         if not self.tail_quant_ready:
             return qp
-        qp = jax.jit(self._calibrate_tail)(qp, x)
+        amaxes = jax.device_get(jax.jit(self._tail_amax)(qp, x))
+        qp = self._refold_tail(qp, *amaxes)
+        # per-channel bias correction: fold the int8 path's systematic
+        # (mean) pre-activation error on the calibration batch into the
+        # stage biases — corrects quantizer rounding bias at zero
+        # runtime cost (default path only; the env-gated fused-up-conv
+        # experiment skips it)
+        if not (self.up_fused and self.head_quant):
+            err0, err1, err2 = jax.jit(self._tail_bias_err)(
+                qp, x, jnp.asarray(self._tail_masters["up_pair"]),
+                jnp.asarray(self._tail_masters["head"]))
+            if self.times == 2:
+                qp["up0_b_c"] = qp["up0_b_c"] - err0
+            qp["up_b_c"] = qp["up_b_c"] - err1
+            if self.head_quant:
+                qp["final_b_c"] = qp["final_b_c"] - err2
         self.tail_calibrated = True
         return qp
 
-    def _calibrate_tail(self, qp: Dict[str, Any], x: jax.Array):
-        """Per-CHANNEL activation scales, measured on the sample batch and
-        folded into the weights' input axes before re-quantizing them
-        per-out-channel — so channel-calibrated quantization costs zero
-        extra runtime ops (the dequant stays one per-out-channel multiply).
-        Round-2's per-TENSOR scales measured 37.3 dB vs bf16; the channel
-        fold recovers the spread between channel dynamic ranges."""
+    def _tail_bias_err(self, qp, x, w_up_f, w_head_f):
+        """Mean pre-activation error of the calibrated int8 tail vs the
+        f32 tail on the sample batch: (err_up0 [8*c_mid] — zeros for x2,
+        err_up [8*C_up], err_head [96]). The quantized side mirrors the
+        runtime chain (each stage consumes the previous QUANTIZED
+        stage's bias-corrected output)."""
+        trunk = self.apply_trunk(qp, self.apply_stem(qp, x))
+        n, h, wp_, cp = trunk.shape
+        y = trunk.reshape(n, h, wp_ * self.pack, self.filters
+                          ).astype(jnp.float32)
+        s0, s1 = qp["tail_s0"], qp["tail_s1"]
+        if self.times == 2:
+            b0_8 = jnp.tile(qp["up0_b"], 8).astype(jnp.float32)
+            q0 = jnp.clip(jnp.round(y * s0), -127, 127).astype(jnp.int8)
+            yp = y.reshape(n, h, (wp_ * self.pack) // 2, 2 * self.filters)
+            acc0_f = lax.conv_general_dilated(
+                yp, jnp.asarray(self._tail_masters["up0_pair"]), (1, 1),
+                self.up0_pads, dimension_numbers=sp.CONV_DIMS)
+            acc0_q = lax.conv_general_dilated(
+                q0.reshape(yp.shape), qp["up0_w_q"], (1, 1),
+                self.up0_pads, dimension_numbers=sp.CONV_DIMS,
+                preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * qp["up0_w_ws"]
+            err0 = jnp.mean(acc0_q - acc0_f, axis=(0, 1, 2))
+            y_q = self._up0_to_canonical(
+                vops.leaky_relu(acc0_q + b0_8 - err0, 0.2))
+            y_f = self._up0_to_canonical(
+                vops.leaky_relu(acc0_f + b0_8, 0.2))
+            s_in = qp["tail_sm"]
+        else:
+            err0 = jnp.zeros((8 * qp["up_b_0"].shape[0],), jnp.float32)
+            y_q = y_f = y
+            s_in = s0
+        b8 = jnp.tile(qp["up_b_0"], 8).astype(jnp.float32)
+        q0 = jnp.clip(jnp.round(y_q * s_in), -127, 127).astype(jnp.int8)
+        nn_, hh_, ww_, cc_ = y_f.shape
+        yp_f = y_f.reshape(nn_, hh_, ww_ // 2, 2 * cc_)
+        q0p = q0.reshape(yp_f.shape)
+        acc_f = lax.conv_general_dilated(
+            yp_f, w_up_f, (1, 1), self.up_pads_q,
+            dimension_numbers=sp.CONV_DIMS)
+        acc_q = lax.conv_general_dilated(
+            q0p, qp["up_w_q"], (1, 1), self.up_pads_q,
+            dimension_numbers=sp.CONV_DIMS,
+            preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * qp["up_w_ws"]
+        err1 = jnp.mean(acc_q - acc_f, axis=(0, 1, 2))
+        if not self.head_quant:   # hybrid tail: bf16 head, no err2
+            return err0, err1, jnp.zeros((32 * qp["final_b"].shape[0],),
+                                         jnp.float32)
+        y1_q = vops.leaky_relu(acc_q + b8 - err1, 0.2)
+        y1_f = vops.leaky_relu(acc_f + b8, 0.2)
+        q1 = jnp.clip(jnp.round(y1_q * jnp.tile(s1, 2)), -127, 127
+                      ).astype(jnp.int8)
+        zeros96 = jnp.zeros((32 * qp["final_b"].shape[0],), jnp.float32)
+        hd_q = head_conv.head_conv_s48_pre(q1, qp["final_w_q"],
+                                           qp["final_w_ws"], zeros96,
+                                           self.final_px_q)
+        hd_f = head_conv.head_conv_s48_pre(y1_f.astype(jnp.float32),
+                                           w_head_f, None, zeros96,
+                                           self.final_px_q)
+        err2 = jnp.mean(hd_q - hd_f, axis=(0, 1, 2))
+        return err0, err1, err2
+
+    def _stem_trunk_amax(self, qp, x):
+        return self.apply_trunk(qp, self.apply_stem(qp, x),
+                                collect_amax=True)
+
+    def _tail_amax(self, qp: Dict[str, Any], x: jax.Array):
+        """Per-channel abs-max of each quantized tail activation on the
+        sample batch: the trunk output ([C]); for x4 chains also the
+        canonical mid stream ([c_mid]); and the post-LeakyReLU final
+        up-conv output (pair slots folded -> [4*C_up]). Order matches
+        _refold_tail's (amax0, amax1[, amax_mid]) signature."""
         trunk = self.apply_trunk(qp, self.apply_stem(qp, x))
         n, h, wp_, cp = trunk.shape
         y = trunk.reshape(n, h, wp_ * self.pack, self.filters
                           ).astype(jnp.float32)
         amax0 = jnp.maximum(jnp.max(jnp.abs(y), axis=(0, 1, 2)), 1e-6)
-        y1 = self._up_phase(y, qp["up_w_f32"], qp["up_b_0"]
-                            ).astype(jnp.float32)
-        amax1 = jnp.maximum(jnp.max(jnp.abs(y1), axis=(0, 1, 2)), 1e-6)
-        s0 = (127.0 / amax0).astype(jnp.float32)   # [C]
-        s1 = (127.0 / amax1).astype(jnp.float32)   # [4*C_up]
+        amax_mid = None
+        if self.times == 2:
+            y = self._up0_to_canonical(self._up_xpack(
+                y, qp["up0_w_x"].astype(jnp.float32), qp["up0_b"],
+                pads=self.up0_pads)).astype(jnp.float32)
+            amax_mid = jnp.maximum(
+                jnp.max(jnp.abs(y), axis=(0, 1, 2)), 1e-6)
+        y1 = self._up_xpack(y, qp["up_w_x"].astype(jnp.float32),
+                            qp["up_b_0"]).astype(jnp.float32)
+        a1 = jnp.max(jnp.abs(y1), axis=(0, 1, 2))        # [2*4*C_up]
+        cs = a1.shape[0] // 2
+        amax1 = jnp.maximum(jnp.maximum(a1[:cs], a1[cs:]), 1e-6)
+        if amax_mid is None:
+            return amax0, amax1
+        return amax0, amax1, amax_mid
 
-        def q_oc(wk):
-            amax = jnp.max(jnp.abs(wk), axis=tuple(range(wk.ndim - 1)),
-                           keepdims=True)
-            s = 127.0 / jnp.maximum(amax, 1e-8)
-            q = jnp.clip(jnp.round(wk * s), -127, 127).astype(jnp.int8)
-            return q, (1.0 / s).reshape(-1)
+    def _refold_tail(self, qp: Dict[str, Any], amax0, amax1,
+                     amax_mid=None):
+        """Per-CHANNEL activation scales folded into the f32 tail-weight
+        masters' input axes (host numpy), then per-out-channel int8
+        re-quantization — channel-calibrated quantization costs zero
+        extra runtime ops (the dequant stays one per-out-channel
+        multiply). Round-2's per-TENSOR scales measured 42.1 dB (tail
+        only) on the real demo frame; the channel fold reaches ~46 dB."""
+        s0 = 127.0 / np.maximum(np.asarray(amax0, np.float32), 1e-6)
+        s1 = 127.0 / np.maximum(np.asarray(amax1, np.float32), 1e-6)
+
+        def q_oc(w, in_scales, in_axis):
+            sh = [1] * w.ndim
+            sh[in_axis] = -1
+            w = w / in_scales.reshape(sh)
+            amax = np.max(np.abs(w), axis=tuple(
+                i for i in range(w.ndim) if i != w.ndim - 1), keepdims=True)
+            s = 127.0 / np.maximum(amax, 1e-8)
+            q = np.clip(np.round(w * s), -127, 127).astype(np.int8)
+            return jnp.asarray(q), jnp.asarray((1.0 / s).reshape(-1))
 
         qp = dict(qp)
-        # up conv contraction lanes are (col-tap, c): tile s0 by KW
-        kw = qp["up_w_f32"].shape[1] // self.filters
-        qp["up_w_q"], qp["up_w_ws"] = q_oc(
-            qp["up_w_f32"] / jnp.tile(s0, kw)[None, :, None])
-        # head input channels are W-pair slots (cx*4C' + u): tile s1 by 2
-        qp["final_w_q"], qp["final_w_ws"] = q_oc(
-            qp["head_w_f32"] / jnp.tile(s1, 2)[None, None, :, None])
-        qp["tail_s0"] = s0
-        qp["tail_s1"] = s1
+        s_in = s0  # stage-1 (final up conv) input quant scales
+        if amax_mid is not None:
+            # x4 chain: stage 0 quantizes with the trunk scales; the mid
+            # stream's own per-channel scales feed stage 1
+            sm = 127.0 / np.maximum(np.asarray(amax_mid, np.float32), 1e-6)
+            qp["up0_w_q"], qp["up0_w_ws"] = q_oc(
+                self._tail_masters["up0_pair"], np.tile(s0, 2), 2)
+            qp["up0_b_c"] = jnp.tile(qp["up0_b"], 8).astype(jnp.float32)
+            qp["tail_sm"] = jnp.asarray(sm)
+            s_in = sm
+        if self.up_fused and self.head_quant:
+            # unpacked [3, KW*C, 4C'] matrix: contraction lanes (dx, c)
+            kw = self._tail_masters["up_unpacked"].shape[1] // self.filters
+            qp["up_w_q"], qp["up_w_ws"] = q_oc(
+                self._tail_masters["up_unpacked"], np.tile(s_in, kw), 1)
+        else:
+            # pair conv kernel [ny,nx,2C,4C']: input channels (cx, c)
+            qp["up_w_q"], qp["up_w_ws"] = q_oc(
+                self._tail_masters["up_pair"], np.tile(s_in, 2), 2)
+        if self.head_quant:
+            # head input channels are W-pair slots (cx*4C'+u): s1 tiled 2
+            qp["final_w_q"], qp["final_w_ws"] = q_oc(
+                self._tail_masters["head"], np.tile(s1, 2), 2)
+        qp["tail_s0"] = jnp.asarray(s0)
+        qp["tail_s1"] = jnp.asarray(s1)
+        # stage biases as full vectors (calibrate() then subtracts the
+        # measured per-channel quantization bias from these)
+        r_up = 4 if (self.up_fused and self.head_quant) else 8
+        qp["up_b_c"] = jnp.tile(qp["up_b_0"], r_up).astype(jnp.float32)
+        qp["final_b_c"] = jnp.tile(qp["final_b"], 32).astype(jnp.float32)
         return qp
 
     # ------------------------------------------------------------- apply
@@ -294,12 +495,21 @@ class FastOrigRunner:
         y = vops.prelu(y, qp["stem_alpha"])
         return y.reshape(n, h, w // self.pack, self.cp)  # packed
 
-    def apply_trunk(self, qp: Dict[str, Any], h0: jax.Array) -> jax.Array:
-        """Packed stem output -> packed trunk output (fused kernels)."""
+    def apply_trunk(self, qp: Dict[str, Any], h0: jax.Array,
+                    collect_amax: bool = False):
+        """Packed stem output -> packed trunk output (fused kernels).
+
+        ``collect_amax``: additionally return per-layer per-lane abs-max
+        of every quantized conv input (the z streams) — the calibration
+        observables for per-channel trunk quantization."""
         n, h, wp_, cp = h0.shape
         pack = self.pack
         hw = h * wp_ * pack
         quant = self.quant
+        amaxes: Dict[str, jax.Array] = {}
+
+        def amax_of(z):
+            return jnp.max(jnp.abs(z.astype(jnp.float32)), axis=(0, 1, 2))
 
         if quant:
             # dynamic per-tensor scale for the (un-normalized) stem output
@@ -319,30 +529,52 @@ class FastOrigRunner:
         for i in range(self.res_block_num):
             s1, t1 = fc.stats_to_scale_shift(st, qp[f"g1_{i}"],
                                              qp[f"b1_{i}"], pack, hw)
+            if collect_amax:
+                z = (a.astype(jnp.float32) * s1[:, None, None, :]
+                     + t1[:, None, None, :])
+                z = jnp.where(z < 0, qp[f"alpha_{i}"] * z, z)
+                amaxes[f"qs_a_{i}"] = amax_of(z)
             b_raw, st2 = fc.fused_conv_stats(
                 a, qp[f"w_post_{i}"], pads=self.pads[f"w_post_{i}"],
                 pre="affine_act", act="prelu", scale=s1, shift=t1,
-                alpha=qp[f"alpha_{i}"], quant=quant, qscale=QSCALE,
+                alpha=qp[f"alpha_{i}"], quant=quant,
+                qscale=qp[f"qs_a_{i}"] if quant else QSCALE,
                 stats_mode=self.stats_mode)
             s2, t2 = fc.stats_to_scale_shift(st2, qp[f"g2_{i}"],
                                              qp[f"b2_{i}"], pack, hw)
             nxt = (f"w_pre_{i + 1}" if i + 1 < self.res_block_num
                    else "w_prefinal")
+            if collect_amax:
+                z = (b_raw.astype(jnp.float32) * s2[:, None, None, :]
+                     + t2[:, None, None, :] + hs.astype(jnp.float32))
+                amaxes[f"qs_r_{i}"] = amax_of(z)
             a, hs, st = fc.fused_conv_stats(
                 b_raw, qp[nxt], pads=self.pads[nxt],
                 pre="affine_res", scale=s2, shift=t2, res=hs,
-                quant=quant, qscale=RES_QSCALE, stats_mode=self.stats_mode)
+                quant=quant,
+                qscale=qp[f"qs_r_{i}"] if quant else RES_QSCALE,
+                stats_mode=self.stats_mode)
 
         # prefinal norm apply + global skip (one fused pass)
         sp_, tp_ = fc.stats_to_scale_shift(st, qp["g_pf"], qp["b_pf"],
                                            pack, hw)
-        return _apply_res(a, h0, sp_, tp_)
+        out = _apply_res(a, h0, sp_, tp_)
+        if collect_amax:
+            return out, amaxes
+        return out
 
     def _tail_bf16_xpack(self, qp: Dict[str, Any], y: jax.Array,
                          emit_u8: bool = False) -> jax.Array:
         """bf16 x-packed tail on the r=1 canonical stream."""
-        if self.up_fused_ok:
-            y1 = self._up_phase(y, qp["up_w_p"], qp["up_b_0"])
+        if self.times == 2:  # x4 chain: stage-0 up conv at LR first
+            y = self._up0_to_canonical(self._up_xpack(
+                y, qp["up0_w_x"], qp["up0_b"], pads=self.up0_pads))
+        if self.up_fused:
+            # env-gated Pallas up-conv experiment (docs/PERF.md round 3)
+            y1 = upc.up_conv_fused(
+                y, qp["up_w_p"], None,
+                jnp.tile(qp["up_b_0"], 4).astype(jnp.float32),
+                self.up_px, quant=False)
             n, h, w_, cs = y1.shape
             y1 = y1.reshape(n, h, w_ // 2, 2 * cs)  # free W-pair pack
         else:
@@ -353,26 +585,30 @@ class FastOrigRunner:
             self.final_px_q, emit_u8=emit_u8)
         return sp.depth_to_space_axes(yp, 4, 8)
 
-    def _up_phase(self, y: jax.Array, wmat: jax.Array, b) -> jax.Array:
-        """Fused transpose conv + LeakyReLU on the UNPACKED r=1 stream:
-        [N,H,W,C] -> [N,H,W,4C'] (dtype follows the inputs) via the
-        Pallas kernel (ops/pallas/up_conv.py; XLA reference off-TPU)."""
-        return upc.up_conv_fused(
-            y, wmat, None, jnp.tile(b, 4).astype(jnp.float32),
-            self.up_px, quant=False)
-
-    def _up_xpack(self, y: jax.Array, wk: jax.Array, b) -> jax.Array:
+    def _up_xpack(self, y: jax.Array, wk: jax.Array, b,
+                  pads=None) -> jax.Array:
         """x-packed transpose conv + LeakyReLU on the r=1 canonical
-        stream: [N,H,W,C] -> [N,H,W/2,8C'] (dtype follows the inputs) —
-        the XLA fallback when the fused kernel's geometry doesn't apply."""
-        from jax import lax
-
+        stream: [N,H,W,C] -> [N,H,W/2,8C'] (dtype follows the inputs)."""
         n, h, w_, c = y.shape
         y = y.reshape(n, h, w_ // 2, 2 * c)  # free W-pair pack
-        y1 = lax.conv_general_dilated(y, wk, (1, 1), self.up_pads_q,
+        y1 = lax.conv_general_dilated(y, wk, (1, 1),
+                                      pads or self.up_pads_q,
                                       dimension_numbers=sp.CONV_DIMS)
         y1 = y1 + jnp.tile(b, 8).astype(y1.dtype)
         return vops.leaky_relu(y1, 0.2)
+
+    @staticmethod
+    def _up0_to_canonical(y1: jax.Array) -> jax.Array:
+        """Stage-0 x-packed up-conv output [N,H,Wp,8C'] — lane order
+        (u', py, px, c), i.e. output W-pair slot major then phase-major
+        (rearrange_same_kernel_axes docstring) — to the canonical
+        [N,2H,2W,C'] 2x stream: rows (y,py), cols (w~,u',px). One
+        transpose of an LR-sized tensor (HBM-bound, ~us/frame)."""
+        n, h, wp2, cs = y1.shape
+        c = cs // 8
+        x = y1.reshape(n, h, wp2, 2, 2, 2, c)
+        x = x.transpose(0, 1, 4, 2, 3, 5, 6)  # n, h, py, w~, u', px, c
+        return x.reshape(n, 2 * h, 4 * wp2, c)
 
     def apply_tail(self, qp: Dict[str, Any], trunk: jax.Array,
                    emit_u8: bool = False) -> jax.Array:
@@ -437,21 +673,55 @@ class FastOrigRunner:
         homogeneous LeakyReLU into the elementwise dequant — so
         channel-wise quantization costs no extra runtime ops."""
         s0, s1 = qp["tail_s0"], qp["tail_s1"]  # [C], [4*C_up]
+        if self.times == 2:
+            # x4 chain stage 0: W8A8 pair conv at LR, dequant + bias +
+            # LeakyReLU in f32, unfold to the canonical 2x stream; the
+            # mid-stream re-quantizes with its own calibrated per-channel
+            # scales (tail_sm) for stage 1 below.
+            q0 = jnp.clip(jnp.round(y.astype(jnp.float32) * s0), -127,
+                          127).astype(jnp.int8)
+            n0, h0_, w0_, c0_ = q0.shape
+            acc0 = lax.conv_general_dilated(
+                q0.reshape(n0, h0_, w0_ // 2, 2 * c0_), qp["up0_w_q"],
+                (1, 1), self.up0_pads, dimension_numbers=sp.CONV_DIMS,
+                preferred_element_type=jnp.int32)
+            y0 = acc0.astype(jnp.float32) * qp["up0_w_ws"] + qp["up0_b_c"]
+            y = self._up0_to_canonical(vops.leaky_relu(y0, 0.2))
+            s0 = qp["tail_sm"]
         q0 = jnp.clip(jnp.round(y.astype(jnp.float32) * s0), -127, 127
                       ).astype(jnp.int8)
-        # fused Pallas up conv: conv + dequant + bias + LeakyReLU +
-        # requant in one kernel — the phase intermediate crosses HBM
-        # once, already int8. s1 folds through the positively-
-        # homogeneous LeakyReLU into the dequant/bias.
-        q1 = upc.up_conv_fused(
-            q0, qp["up_w_q"], qp["up_w_ws"] * s1,
-            jnp.tile(qp["up_b_0"], 4).astype(jnp.float32) * s1,
-            self.up_px, quant=True)
-        n, h, w_, cs = q1.shape
-        q1 = q1.reshape(n, h, w_ // 2, 2 * cs)  # free W-pair pack
+        if self.up_fused and self.head_quant:
+            # env-gated experiment: fused Pallas up conv (conv + dequant
+            # + bias + LeakyReLU + requant in one kernel). s1 folds
+            # through the positively-homogeneous LeakyReLU.
+            s1q = jnp.tile(s1, 1)
+            q1 = upc.up_conv_fused(
+                q0, qp["up_w_q"], qp["up_w_ws"] * s1q,
+                qp["up_b_c"] * s1q, self.up_px, quant=True)
+            n, h, w_, cs = q1.shape
+            q1 = q1.reshape(n, h, w_ // 2, 2 * cs)  # free W-pair pack
+        else:
+            n, h, w_, c = q0.shape
+            q0p = q0.reshape(n, h, w_ // 2, 2 * c)  # free W-pair pack
+            acc = lax.conv_general_dilated(
+                q0p, qp["up_w_q"], (1, 1), self.up_pads_q,
+                dimension_numbers=sp.CONV_DIMS,
+                preferred_element_type=jnp.int32)
+            y1 = acc.astype(jnp.float32) * qp["up_w_ws"] + qp["up_b_c"]
+            y1 = vops.leaky_relu(y1, 0.2)
+            if not self.head_quant:
+                # hybrid (budget) tail: bf16 head on the dequantized
+                # up-conv output — drops the head's input-requant and
+                # weight-rounding error stages (~65% of the all-int8
+                # tail MSE, scripts/quant_decomp.py)
+                yp = head_conv.head_conv_s48(
+                    y1.astype(self.dtype), qp["head_w_x"], None,
+                    qp["final_b_c"], self.final_px_q, emit_u8=emit_u8)
+                return sp.depth_to_space_axes(yp, 4, 8)
+            q1 = jnp.clip(jnp.round(y1 * jnp.tile(s1, 2)), -127, 127
+                          ).astype(jnp.int8)
         yp = head_conv.head_conv_s48(
-            q1, qp["final_w_q"], qp["final_w_ws"],
-            jnp.tile(qp["final_b"], 32).astype(jnp.float32),
+            q1, qp["final_w_q"], qp["final_w_ws"], qp["final_b_c"],
             self.final_px_q, emit_u8=emit_u8)
         return sp.depth_to_space_axes(yp, 4, 8)
 

@@ -82,6 +82,17 @@ def head_conv_s48(q1: jax.Array, wq: jax.Array, ws, bias96: jax.Array,
     the conv epilogue — the HR stream then leaves the head as uint8, so
     the depth_to_space relayout and every downstream pass move 1 byte/px
     instead of 4 (the clip path's operating mode)."""
+    yp = jnp.tanh(head_conv_s48_pre(q1, wq, ws, bias96, px))
+    if emit_u8:
+        return jnp.clip(jnp.round((yp + 1.0) * 127.5), 0, 255
+                        ).astype(jnp.uint8)
+    return yp
+
+
+def head_conv_s48_pre(q1: jax.Array, wq: jax.Array, ws, bias96: jax.Array,
+                      px: tuple) -> jax.Array:
+    """``head_conv_s48`` up to (excluding) the tanh — the pre-activation
+    the calibration bias-correction pass compares against."""
     acc_t = jnp.int32 if q1.dtype == jnp.int8 else jnp.float32
     acc = lax.conv_general_dilated(
         q1, wq, (2, 2), ((2, 3), px),
@@ -90,8 +101,4 @@ def head_conv_s48(q1: jax.Array, wq: jax.Array, ws, bias96: jax.Array,
     yp = acc.astype(jnp.float32)
     if ws is not None:
         yp = yp * ws[None, None, None, :]
-    yp = jnp.tanh(yp + bias96[None, None, None, :])
-    if emit_u8:
-        return jnp.clip(jnp.round((yp + 1.0) * 127.5), 0, 255
-                        ).astype(jnp.uint8)
-    return yp
+    return yp + bias96[None, None, None, :]

@@ -120,6 +120,8 @@ def _kernel(*refs, th: int, kh: int, kw: int, pre: str, act: str,
         scale_ref, shift_ref = next(it), next(it)
     if act in ("prelu", "leaky"):
         alpha_ref = next(it)
+    if quant:
+        qs_ref = next(it)  # [1, Cp] per-lane activation quant scales
     w_ref = next(it)
     y_ref = next(it)
     if pre == "affine_res":
@@ -150,9 +152,9 @@ def _kernel(*refs, th: int, kh: int, kw: int, pre: str, act: str,
         return z
 
     if quant:
-        q = jnp.asarray(qscale, jnp.float32)
+        q = qs_ref[0, :].astype(jnp.float32)  # per-lane; folded into the
         cast = lambda z: jnp.clip(jnp.round(z * q), -127.0, 127.0
-                                  ).astype(jnp.int8)
+                                  ).astype(jnp.int8)  # weights' input axis
     else:
         cast = lambda z: z.astype(jnp.bfloat16)
 
@@ -340,6 +342,15 @@ def fused_conv_stats(
                                   memory_space=pltpu.VMEM)]
         args += [jnp.broadcast_to(alpha.astype(jnp.float32).reshape(-1),
                                   (cp,))[None, :]]
+    if quant:
+        # per-lane activation quant scales ([Cp] vector; a scalar qscale
+        # broadcasts — same kernel either way, so calibration never
+        # triggers a recompile)
+        qs = jnp.broadcast_to(jnp.asarray(qscale, jnp.float32).reshape(-1),
+                              (cp,))[None, :]
+        in_specs += [pl.BlockSpec((1, cp), lambda ni, i: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+        args += [qs]
     in_specs += [pl.BlockSpec((kh, kw * cp, cp), lambda ni, i: (0, 0, 0),
                               memory_space=pltpu.VMEM)]
     args += [w]
@@ -372,7 +383,14 @@ def fused_conv_stats(
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=semantics),
+            dimension_semantics=semantics,
+            # Mosaic's scoped stack tops _pick_th's accounted buffers by a
+            # geometry-dependent margin (measured +~80% at 270x240 where
+            # the default 16M limit OOMs a th the model deems safe at
+            # 9.4M); v5e has 128M physical VMEM and these kernels run
+            # alone, so raise the soft scoped limit instead of shrinking
+            # proven tile choices.
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     out = list(out)
@@ -399,7 +417,8 @@ def _reference(x, w, *, pads, pre, act, scale, shift, alpha, res, quant,
             z = z + res.astype(jnp.float32)
     hstream = z.astype(jnp.bfloat16) if pre == "affine_res" else None
     if quant:
-        zq = jnp.clip(jnp.round(z * qscale), -127.0, 127.0).astype(jnp.int8)
+        qs = jnp.asarray(qscale, jnp.float32).reshape(-1)  # scalar or [Cp]
+        zq = jnp.clip(jnp.round(z * qs), -127.0, 127.0).astype(jnp.int8)
         wk = w.reshape(kh, kw, cp, cp)
         y = lax.conv_general_dilated(
             zq.astype(jnp.int32), wk.astype(jnp.int32), (1, 1),
@@ -421,10 +440,13 @@ def _reference(x, w, *, pads, pre, act, scale, shift, alpha, res, quant,
 
 
 # --------------------------------------------------------------- host-side
-def pack_conv_kernel(w: jax.Array, pack: int, quant: bool = False):
+def pack_conv_kernel(w: jax.Array, pack: int, quant: bool = False,
+                     raw: bool = False):
     """[k,k,C,C] canonical SAME conv kernel -> ([KH, KW*Cp, Cp], pads) for
     fused_conv_stats, with the W axis phase-packed by ``pack``. Run OUTSIDE
-    jit (prepack time): the gather is constant-folded to a plain array."""
+    jit (prepack time): the gather is constant-folded to a plain array.
+    ``raw``: return the f32 matrix unquantized/uncast (the calibration
+    master for per-channel refolds — see quantize_packed_kernel)."""
     from video_cycle_gan_upscaling_tpu.ops import subpixel as sp
 
     wp_, (py_l, py_h), (px_l, px_h) = sp.rearrange_same_kernel_axes(
@@ -432,13 +454,43 @@ def pack_conv_kernel(w: jax.Array, pack: int, quant: bool = False):
     kh, kw, ci, co = wp_.shape
     assert (py_l, py_h) == ((w.shape[0] - 1) // 2, w.shape[0] // 2)
     mat = wp_.reshape(kh, kw * ci, co)
+    if raw:
+        return mat.astype(jnp.float32), (px_l, px_h)
     if quant:
-        amax = jnp.max(jnp.abs(mat), axis=(0, 1), keepdims=True)
-        s = 127.0 / jnp.maximum(amax, 1e-8)
-        mat = jnp.clip(jnp.round(mat * s), -127, 127).astype(jnp.int8)
+        mat = quantize_packed_kernel(mat)
     else:
         mat = mat.astype(jnp.bfloat16)
     return mat, (px_l, px_h)
+
+
+def quantize_packed_kernel(mat, in_scales=None, out_pack: int = 1):
+    """Symmetric per-out-CHANNEL int8 quantization of a packed [KH,
+    KW*Cp, Cp] conv matrix; the scales are NOT returned — consumers feed
+    InstanceNorm, where per-out-channel scales cancel (ops/quant.py).
+
+    ``in_scales``: optional per-input-LANE activation quant scales [Cp]
+    to fold into the matrix first (tiled across the KW taps), so
+    per-channel activation quantization costs nothing at runtime.
+    ``out_pack``: W-pack factor of the OUTPUT lanes (Cp = out_pack*C,
+    lane order (wslot*C + c)). The quant scale must be shared across the
+    pack slots of one channel — stats_to_scale_shift SUMS packed stats
+    per channel, so per-slot scales would mix differently-scaled
+    streams and break the InstanceNorm cancellation (measured: a
+    per-lane-scaled fold cost ~18 dB end-to-end)."""
+    import numpy as np
+
+    mat = np.asarray(mat, np.float32)
+    if in_scales is not None:
+        kw = mat.shape[1] // mat.shape[2]
+        mat = mat / np.tile(np.asarray(in_scales, np.float32),
+                            kw)[None, :, None]
+    cp = mat.shape[2]
+    c = cp // out_pack
+    amax = np.max(np.abs(mat.reshape(mat.shape[0], mat.shape[1],
+                                     out_pack, c)), axis=(0, 1, 2))
+    amax = np.tile(amax, out_pack)[None, None, :]
+    s = 127.0 / np.maximum(amax, 1e-8)
+    return jnp.asarray(np.clip(np.round(mat * s), -127, 127), jnp.int8)
 
 
 def stats_to_scale_shift(stats: jax.Array, gamma: jax.Array, beta: jax.Array,
