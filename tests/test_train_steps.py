@@ -111,6 +111,43 @@ def test_gan_step_relativistic():
     assert np.isfinite(float(m["loss_gan_disc"]))
 
 
+def test_gan_step_vjp_matches_two_forward_form():
+    """The single-G-forward vjp formulation in make_gan_step produces the
+    same updates as naively re-running G inside the G loss (chain rule) —
+    the equivalence claimed in its docstring, checked end-to-end."""
+    adv = wasserstein_pair_losses()
+    content = lambda t, p: pixel_mse(t, p)
+    clw, dlw = 1.0, 1e-3
+
+    def two_forward_step(state, lr, hr):
+        fake = jax.lax.stop_gradient(
+            state.g.apply_fn({"params": state.g.params}, lr, train=True))
+
+        def d_loss_fn(d_params):
+            r = state.d.apply_fn({"params": d_params}, hr, train=True)
+            f = state.d.apply_fn({"params": d_params}, fake, train=True)
+            return adv.d_loss(r, f)
+
+        new_d = state.d.apply_gradients(grads=jax.grad(d_loss_fn)(state.d.params))
+
+        def g_loss_fn(g_params):
+            fake2 = state.g.apply_fn({"params": g_params}, lr, train=True)
+            f2 = new_d.apply_fn({"params": new_d.params}, fake2, train=True)
+            r2 = new_d.apply_fn({"params": new_d.params}, hr, train=True)
+            return clw * content(hr, fake2) + dlw * adv.g_loss(r2, f2)
+
+        new_g = state.g.apply_gradients(grads=jax.grad(g_loss_fn)(state.g.params))
+        return new_g.params, new_d.params
+
+    ref_g, ref_d = jax.jit(two_forward_step)(
+        create_gan_state(_gen(), _disc(), KEY, LR, HR), LR, HR)
+    step = make_gan_step(adv, content, content_loss_weight=clw,
+                         adversarial_loss_weight=dlw)
+    new_state, _ = step(create_gan_state(_gen(), _disc(), KEY, LR, HR), LR, HR)
+    assert _tree_diff(new_state.g.params, ref_g) < 1e-5
+    assert _tree_diff(new_state.d.params, ref_d) < 1e-5
+
+
 def test_gan_step_multiple_iterations_stable():
     state = create_gan_state(_gen(), _disc(), KEY, LR, HR)
     step = make_gan_step(wasserstein_pair_losses(),

@@ -100,6 +100,11 @@ class UpscalerOrig(nn.Module):
     # default False: the phase graph's gather/scatter autodiff compiles
     # slowly; enable for inference graphs (bench, upscale CLI, entry())
     phase_tail: bool = False
+    # cap on the head's extra spatial blocking in the phase tail (None =
+    # auto-pick 4/2/1). The blocked-head kernel gather grows ~S^4 and its
+    # BACKWARD is a scatter-add, so differentiated phase graphs want a
+    # small cap (scripts/microbench_r3h.py); inference keeps the auto pick.
+    phase_head_extra: int | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -135,10 +140,11 @@ class UpscalerOrig(nn.Module):
             c_in = 256
         w9, b9 = _ConvParams(9, c_in, 3, name="final_conv")()
         # extra spatial blocking for MXU output lanes (3*S^2); pick the
-        # largest of 4/2/1 dividing the LR tile
+        # largest of 4/2/1 dividing the LR tile (capped by phase_head_extra)
         extra = 1
         for e in (4, 2):
-            if y.shape[1] % e == 0 and y.shape[2] % e == 0:
+            if (self.phase_head_extra is None or e <= self.phase_head_extra) \
+                    and y.shape[1] % e == 0 and y.shape[2] % e == 0:
                 extra = e
                 break
         yp = sp.conv_same_phase_blocked(y, w9, b9, r, extra)

@@ -84,19 +84,34 @@ def make_gan_step(adv: AdvLosses, content_loss: Callable,
     2. discriminator update on (real, fake),
     3. generator update against the UPDATED discriminator
        (content * clw + adversarial * dlw, train_gan.py:240-244).
+
+    The generator runs forward ONCE per step: ``jax.vjp`` saves the
+    pullback, the D update consumes ``stop_gradient(fake)``, and the G
+    update differentiates the loss w.r.t. the fake IMAGE and pulls the
+    cotangent back through the saved vjp — identical gradients to
+    re-running G inside the G loss (chain rule), minus a full G forward
+    (~15% of the step, docs/PERF.md round-3 decomposition). The one
+    semantic change vs the two-forward form: dropout generators (the
+    unetish family) sample a single mask per step shared by both
+    consumers, instead of one mask per consumer — still an unbiased
+    dropout-SGD estimator.
     """
 
     @partial(jax.jit, donate_argnums=0)
     def step(state: GanTrainState, lr: jax.Array, hr: jax.Array):
-        rng, g_rng, g_rng2 = jax.random.split(state.rng, 3)
+        rng, g_rng = jax.random.split(state.rng)
+
+        # ---- one generator forward (pullback kept for the G update) -----
+        fake, g_vjp = jax.vjp(
+            lambda p: _apply(state.g, p, lr, train=True, rng=g_rng),
+            state.g.params)
 
         # ---- discriminator update --------------------------------------
-        fake = jax.lax.stop_gradient(
-            _apply(state.g, state.g.params, lr, train=True, rng=g_rng))
+        fake_sg = jax.lax.stop_gradient(fake)
 
         def d_loss_fn(d_params):
             real_out = _apply(state.d, d_params, hr, train=True)
-            fake_out = _apply(state.d, d_params, fake, train=True)
+            fake_out = _apply(state.d, d_params, fake_sg, train=True)
             return adv.d_loss(real_out, fake_out), (real_out, fake_out)
 
         (loss_d, (real_out, fake_out)), grads_d = jax.value_and_grad(
@@ -104,8 +119,7 @@ def make_gan_step(adv: AdvLosses, content_loss: Callable,
         new_d = state.d.apply_gradients(grads=grads_d)
 
         # ---- generator update (vs updated D; D params not differentiated)
-        def g_loss_fn(g_params):
-            fake2 = _apply(state.g, g_params, lr, train=True, rng=g_rng2)
+        def g_loss_from_fake(fake2):
             fake_out2 = _apply(new_d, new_d.params, fake2, train=True)
             real_out2 = _apply(new_d, new_d.params, hr, train=True)
             c = content_loss(hr, fake2)
@@ -113,8 +127,9 @@ def make_gan_step(adv: AdvLosses, content_loss: Callable,
             total = content_loss_weight * c + adversarial_loss_weight * a
             return total, (c, a)
 
-        (loss_g, (loss_content, loss_adv)), grads_g = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g.params)
+        (loss_g, (loss_content, loss_adv)), fake_cot = jax.value_and_grad(
+            g_loss_from_fake, has_aux=True)(fake)
+        (grads_g,) = g_vjp(fake_cot)
         new_g = state.g.apply_gradients(grads=grads_g)
 
         metrics = {
