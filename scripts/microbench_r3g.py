@@ -35,11 +35,13 @@ def log(*a):
 
 
 def timeit(name, fn, *args, rounds=8, flops=None):
-    out = fn(*args)
-    float(jnp.sum(out.astype(jnp.float32)) if out.ndim else out)
+    # fn returns a scalar (stages reduce inside the jit so the multi-GB
+    # stage tensors never become jit outputs — matches the fused reality)
+    probe = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
+    float(probe(*args))
     t0 = time.perf_counter()
     for _ in range(rounds):
-        float(jnp.sum(fn(*args).astype(jnp.float32)))
+        float(probe(*args))
     ms = (time.perf_counter() - t0) / rounds * 1e3
     per_f = (ms - RPC_MS) / BATCH
     mfu = ""
@@ -89,7 +91,7 @@ def run(factor):
     f_up0 = 0 if factor == 2 else 2 * h * w * (5 * 5 // 4 * 64) * c_up * 4
 
     t_trunk = timeit("stem+trunk (bf16)",
-                     jax.jit(lambda qp, x: r.apply_trunk(qp, r.apply_stem(qp, x))),
+                     lambda qp, x: r.apply_trunk(qp, r.apply_stem(qp, x)),
                      qp, x, flops=f_trunk)
 
     def to_canonical(qp, x):
@@ -109,7 +111,7 @@ def run(factor):
         return y
 
     if factor == 4:
-        t_can = timeit("+ stage0 up conv + canonical", jax.jit(to_canonical),
+        t_can = timeit("+ stage0 up conv + canonical", to_canonical,
                        qp, x, flops=f_up0)
 
     def to_up1(qp, x):
@@ -125,13 +127,13 @@ def run(factor):
         y1 = acc.astype(jnp.float32) * qp["up_w_ws"] + qp["up_b_c"]
         return vops.leaky_relu(y1, 0.2)
 
-    t_up1 = timeit("+ requant + stage1 up conv (int8)", jax.jit(to_up1),
+    t_up1 = timeit("+ requant + stage1 up conv (int8)", to_up1,
                    qp, x, flops=f_up1)
 
     def full(qp, x):
         return r.apply_u8(qp, x)
 
-    t_full = timeit("full apply_u8 (head bf16 + d2s)", jax.jit(full),
+    t_full = timeit("full apply_u8 (head bf16 + d2s)", full,
                     qp, x, flops=f_head)
 
     log(f"pieces/f: trunk {t_trunk:.2f}"

@@ -42,6 +42,7 @@ from video_cycle_gan_upscaling_tpu.ops import subpixel as sp
 from video_cycle_gan_upscaling_tpu.ops import head_conv
 from video_cycle_gan_upscaling_tpu.ops.pallas import fused_conv as fc
 from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
+from video_cycle_gan_upscaling_tpu.ops.pallas import pair_conv
 from video_cycle_gan_upscaling_tpu.ops.pallas import up_conv as upc
 from video_cycle_gan_upscaling_tpu.ops.quant import QSCALE
 
@@ -363,8 +364,12 @@ class FastOrigRunner:
                 preferred_element_type=jnp.int32
             ).astype(jnp.float32) * qp["up0_w_ws"]
             err0 = jnp.mean(acc0_q - acc0_f, axis=(0, 1, 2))
+            # the runtime stage-0 kernel emits bf16 (pair_conv_fused) and
+            # the canonical transpose runs in bf16 — mirror that rounding
+            # on the quantized side so the measured bias matches runtime
             y_q = self._up0_to_canonical(
-                vops.leaky_relu(acc0_q + b0_8 - err0, 0.2))
+                vops.leaky_relu(acc0_q + b0_8 - err0, 0.2)
+                .astype(jnp.bfloat16)).astype(jnp.float32)
             y_f = self._up0_to_canonical(
                 vops.leaky_relu(acc0_f + b0_8, 0.2))
             s_in = qp["tail_sm"]
@@ -420,9 +425,12 @@ class FastOrigRunner:
         amax0 = jnp.maximum(jnp.max(jnp.abs(y), axis=(0, 1, 2)), 1e-6)
         amax_mid = None
         if self.times == 2:
+            # bf16 cast mirrors the runtime mid stream (pair_conv_fused
+            # stage-0 output + bf16 canonical transpose)
             y = self._up0_to_canonical(self._up_xpack(
                 y, qp["up0_w_x"].astype(jnp.float32), qp["up0_b"],
-                pads=self.up0_pads)).astype(jnp.float32)
+                pads=self.up0_pads)).astype(jnp.bfloat16
+                                            ).astype(jnp.float32)
             amax_mid = jnp.maximum(
                 jnp.max(jnp.abs(y), axis=(0, 1, 2)), 1e-6)
         y1 = self._up_xpack(y, qp["up_w_x"].astype(jnp.float32),
@@ -674,26 +682,25 @@ class FastOrigRunner:
         channel-wise quantization costs no extra runtime ops."""
         s0, s1 = qp["tail_s0"], qp["tail_s1"]  # [C], [4*C_up]
         if self.times == 2:
-            # x4 chain stage 0: W8A8 pair conv at LR, dequant + bias +
-            # LeakyReLU in f32, unfold to the canonical 2x stream; the
-            # mid-stream re-quantizes with its own calibrated per-channel
-            # scales (tail_sm) for stage 1 below.
-            q0 = jnp.clip(jnp.round(y.astype(jnp.float32) * s0), -127,
-                          127).astype(jnp.int8)
-            n0, h0_, w0_, c0_ = q0.shape
-            acc0 = lax.conv_general_dilated(
-                q0.reshape(n0, h0_, w0_ // 2, 2 * c0_), qp["up0_w_q"],
-                (1, 1), self.up0_pads, dimension_numbers=sp.CONV_DIMS,
-                preferred_element_type=jnp.int32)
-            y0 = acc0.astype(jnp.float32) * qp["up0_w_ws"] + qp["up0_b_c"]
-            y = self._up0_to_canonical(vops.leaky_relu(y0, 0.2))
+            # x4 chain stage 0: one fused Pallas pass (per-lane requant +
+            # W8A8 pair conv + dequant + bias + LeakyReLU, bf16 out —
+            # ops/pallas/pair_conv.py), unfold to the canonical 2x
+            # stream (bf16: halves the transpose's HBM); the mid-stream
+            # re-quantizes with its own calibrated per-channel scales
+            # (tail_sm) inside the stage-1 kernel below.
+            n0, h0_, w0_, c0_ = y.shape
+            y0 = pair_conv.pair_conv_fused(
+                y.reshape(n0, h0_, w0_ // 2, 2 * c0_), qp["up0_w_q"],
+                pads=self.up0_pads, w_scales=qp["up0_w_ws"],
+                bias=qp["up0_b_c"], in_scales=jnp.tile(s0, 2))
+            y = self._up0_to_canonical(y0)
             s0 = qp["tail_sm"]
-        q0 = jnp.clip(jnp.round(y.astype(jnp.float32) * s0), -127, 127
-                      ).astype(jnp.int8)
         if self.up_fused and self.head_quant:
-            # env-gated experiment: fused Pallas up conv (conv + dequant
-            # + bias + LeakyReLU + requant in one kernel). s1 folds
-            # through the positively-homogeneous LeakyReLU.
+            # env-gated experiment: fused Pallas up conv on the UNPACKED
+            # phase kernel. s1 folds through the positively-homogeneous
+            # LeakyReLU.
+            q0 = jnp.clip(jnp.round(y.astype(jnp.float32) * s0), -127, 127
+                          ).astype(jnp.int8)
             s1q = jnp.tile(s1, 1)
             q1 = upc.up_conv_fused(
                 q0, qp["up_w_q"], qp["up_w_ws"] * s1q,
@@ -701,14 +708,18 @@ class FastOrigRunner:
             n, h, w_, cs = q1.shape
             q1 = q1.reshape(n, h, w_ // 2, 2 * cs)  # free W-pair pack
         else:
-            n, h, w_, c = q0.shape
-            q0p = q0.reshape(n, h, w_ // 2, 2 * c)  # free W-pair pack
-            acc = lax.conv_general_dilated(
-                q0p, qp["up_w_q"], (1, 1), self.up_pads_q,
-                dimension_numbers=sp.CONV_DIMS,
-                preferred_element_type=jnp.int32)
-            y1 = acc.astype(jnp.float32) * qp["up_w_ws"] + qp["up_b_c"]
-            y1 = vops.leaky_relu(y1, 0.2)
+            # stage-1 up conv, one fused Pallas pass: requant + W8A8
+            # pair conv + dequant + bias + LeakyReLU (+ requant for the
+            # all-int8 tail). The XLA formulation left ~3/4 of the int8
+            # roofline on HBM round trips of the int32 accumulator and
+            # the dequantized activation (scripts/microbench_r3g.py).
+            n, h, w_, c = y.shape
+            yp_in = y.reshape(n, h, w_ // 2, 2 * c)  # free W-pair pack
+            y1 = pair_conv.pair_conv_fused(
+                yp_in, qp["up_w_q"], pads=self.up_pads_q,
+                w_scales=qp["up_w_ws"], bias=qp["up_b_c"],
+                in_scales=jnp.tile(s0, 2),
+                out_scales=jnp.tile(s1, 2) if self.head_quant else None)
             if not self.head_quant:
                 # hybrid (budget) tail: bf16 head on the dequantized
                 # up-conv output — drops the head's input-requant and
@@ -718,8 +729,7 @@ class FastOrigRunner:
                     y1.astype(self.dtype), qp["head_w_x"], None,
                     qp["final_b_c"], self.final_px_q, emit_u8=emit_u8)
                 return sp.depth_to_space_axes(yp, 4, 8)
-            q1 = jnp.clip(jnp.round(y1 * jnp.tile(s1, 2)), -127, 127
-                          ).astype(jnp.int8)
+            q1 = y1
         yp = head_conv.head_conv_s48(
             q1, qp["final_w_q"], qp["final_w_ws"], qp["final_b_c"],
             self.final_px_q, emit_u8=emit_u8)

@@ -1,0 +1,271 @@
+"""Fused pair-packed up-conv kernel (the phase-tail transpose conv).
+
+The x-packed tail's transpose conv (fast_infer._up_xpack / _tail_int8)
+is a [ny, nx, 2C, 8C'] conv on the W-pair-packed canonical stream. Run
+through XLA as an int8 convolution it leaves ~3/4 of the int8 roofline
+on the floor (scripts/microbench_r3g.py: 17.11 ms/f measured vs 4.14
+ideal at the x4 geometry) because the epilogue cannot fuse into the
+conv custom call: the int32 accumulator ([N,H,W/2,8C'] — 8.5 GB per
+x4 batch-8) and the dequantized activation each make a full HBM round
+trip, and the input requant is one more.
+
+This kernel runs the whole stage in one VMEM pass per row-block:
+
+    load bf16 pair-packed rows (sliver halos for the ny row taps)
+    -> per-lane requant to int8 (scales folded at calibration)
+    -> ny row-tap int8 matmuls over the nx-fold lane window (MXU,
+       int32 accumulate)
+    -> dequant (per-out-channel weight scales) + bias + LeakyReLU
+    -> emit bf16 (hybrid tail) or re-quantized int8 (full-turbo tail)
+
+so the only HBM traffic is the bf16 input once and the output once.
+A bf16 weight variant (``w`` bf16, ``in_scales=None``) serves the
+uncalibrated/bf16 tail with the same dataflow.
+
+Same sliver-halo/independent-grid-step structure as the trunk kernel
+(ops/pallas/fused_conv.py) — the carry/serialized designs measured
+slower twice (docs/PERF.md negative results).
+
+Reference semantics: the upsampling stage of make_upscaler_orig
+(/root/reference/upscaling/upscaler/model.py:70-75, 287-288), evaluated
+in phase space.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+try:  # pragma: no cover
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+from video_cycle_gan_upscaling_tpu.ops.pallas import norms as _norms
+
+_VMEM_BUDGET = 40 * 1024 * 1024
+
+
+def _pick_th(h: int, w2: int, k2: int, co: int, ny: int, *,
+             quant: bool, out_int8: bool) -> Optional[int]:
+    """Largest divisor of h (even preferred) whose working set fits the
+    VMEM budget; None -> caller falls back to XLA."""
+    halo_lo = (ny - 1) // 2
+    halo_hi = ny - 1 - halo_lo
+    in_b = 2  # bf16 input stream
+    best = None
+    for th in range(1, h + 1):
+        if h % th:
+            continue
+        if (halo_lo and th % halo_lo) or (halo_hi and th % halo_hi):
+            continue
+        x_in = (th + ny - 1) * w2 * k2 * in_b * 2          # cur+slivers, dbuf
+        xq = (th + ny - 1) * w2 * 2 * k2 * (1 if quant else 2)  # nx-fold window
+        acc = th * w2 * co * 4
+        y_out = th * w2 * co * (1 if out_int8 else 2) * 2  # dbuf
+        w_buf = ny * 2 * k2 * co * (1 if quant else 2)
+        total = x_in + xq + acc + y_out + w_buf + 4 * co * 4
+        if total <= _VMEM_BUDGET:
+            best = th
+    return best
+
+
+def _kernel(*refs, th: int, ny: int, nx: int, px_l: int, quant: bool,
+            out_int8: bool, slope: float):
+    """Grid (N, H//TH). refs: x_top, x_cur, x_bot, [qs,] w, ws, b,
+    [out_qs,] y_out."""
+    it = iter(refs)
+    x_top, x_cur, x_bot = next(it), next(it), next(it)
+    qs_ref = next(it) if quant else None
+    w_ref = next(it)
+    ws_ref = next(it)
+    b_ref = next(it)
+    oqs_ref = next(it) if out_int8 else None
+    y_ref = next(it)
+
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    w2 = y_ref.shape[2]
+    k2 = x_cur.shape[3]
+
+    if quant:
+        q = qs_ref[0, :].astype(jnp.float32)
+
+        def cast(z):
+            z = z.astype(jnp.float32) * q
+            return jnp.clip(jnp.round(z), -127.0, 127.0).astype(jnp.int8)
+    else:
+        cast = lambda z: z.astype(jnp.bfloat16)
+
+    z_top = jnp.where(i > 0, x_top[0].astype(jnp.float32), 0.0)
+    z_bot = jnp.where(i < n_i - 1, x_bot[0].astype(jnp.float32), 0.0)
+    zw = jnp.concatenate(
+        [cast(z_top), cast(x_cur[0]), cast(z_bot)], axis=0)
+
+    # nx-fold lane window (zero at W borders), dx-major lane order to
+    # match the [ny, nx*2C, CO] kernel reshape
+    rows = zw.shape[0]
+    cols = []
+    zero_col = jnp.zeros((rows, 1, k2), zw.dtype)
+    for dx in range(nx):
+        o = dx - px_l
+        if o < 0:
+            piece = jnp.concatenate(
+                [jnp.broadcast_to(zero_col, (rows, -o, k2)),
+                 zw[:, : w2 + o, :]], axis=1)
+        elif o > 0:
+            piece = jnp.concatenate(
+                [zw[:, o:, :],
+                 jnp.broadcast_to(zero_col, (rows, o, k2))], axis=1)
+        else:
+            piece = zw
+        cols.append(piece)
+    xcat = jnp.concatenate(cols, axis=-1)  # [rows, W2, nx*K2]
+
+    acc_t = jnp.int32 if quant else jnp.float32
+    dims = (((2,), (0,)), ((), ()))
+    acc = lax.dot_general(xcat[0:th], w_ref[0], dims,
+                          preferred_element_type=acc_t)
+    for dy in range(1, ny):
+        acc = acc + lax.dot_general(xcat[dy:dy + th], w_ref[dy], dims,
+                                    preferred_element_type=acc_t)
+
+    y = acc.astype(jnp.float32) * ws_ref[0, :] + b_ref[0, :]
+    y = jnp.where(y < 0.0, slope * y, y)
+    if out_int8:
+        y = jnp.clip(jnp.round(y * oqs_ref[0, :]), -127.0, 127.0)
+        y_ref[0] = y.astype(jnp.int8)
+    else:
+        y_ref[0] = y.astype(jnp.bfloat16)
+
+
+def pair_conv_fused(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    pads: Tuple[Tuple[int, int], Tuple[int, int]],
+    w_scales: Optional[jax.Array],
+    bias: jax.Array,
+    in_scales: Optional[jax.Array] = None,
+    out_scales: Optional[jax.Array] = None,
+    negative_slope: float = 0.2,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """LeakyReLU(conv(quant(x), w) * w_scales + bias) [* out_scales->int8].
+
+    x: [N,H,W2,2C] bf16/f32 pair-packed stream.
+    w: [ny, nx, 2C, CO] int8 (with ``in_scales``/``w_scales``) or bf16/f32
+       (``in_scales=None`` -> bf16 path, ``w_scales`` ignored/None).
+    pads: ((py_l, py_h), (px_l, px_h)) from rearrange_same_kernel_axes.
+    in_scales: [2C] f32 per-lane input quant scales (already folded into
+       the int8 weights' input axes at calibration).
+    out_scales: [CO] f32 -> emit int8 (full-turbo tail); None -> bf16.
+    """
+    n, h, w2, k2 = x.shape
+    ny, nx, k2w, co = w.shape
+    assert k2w == k2, (w.shape, x.shape)
+    (py_l, py_h), (px_l, px_h) = pads
+    assert px_l + px_h == nx - 1, pads
+    halo_lo = (ny - 1) // 2
+    halo_hi = ny - 1 - halo_lo
+    quant = in_scales is not None
+    out_int8 = out_scales is not None
+    if interpret is None:
+        interpret = _norms.INTERPRET
+    use_pallas = (_HAVE_PALLAS and (_norms._on_tpu() or interpret)
+                  and (py_l, py_h) == (halo_lo, halo_hi))
+    th = _pick_th(h, w2, k2, co, ny, quant=quant, out_int8=out_int8) \
+        if use_pallas else None
+    if th is None:
+        return _reference(x, w, pads=pads, w_scales=w_scales, bias=bias,
+                          in_scales=in_scales, out_scales=out_scales,
+                          negative_slope=negative_slope)
+
+    grid = (n, h // th)
+
+    def cur_map(ni, i):
+        return (ni, i, 0, 0)
+
+    def top_map(ni, i):
+        return (ni, jnp.maximum(i * (th // halo_lo) - 1, 0), 0, 0) \
+            if halo_lo else (ni, 0, 0, 0)
+
+    def bot_map(ni, i):
+        return (ni, jnp.minimum(i * (th // halo_hi) + th // halo_hi,
+                                h // halo_hi - 1), 0, 0) \
+            if halo_hi else (ni, 0, 0, 0)
+
+    def blk(rows, rmap):
+        return pl.BlockSpec((1, rows, w2, k2), rmap,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [blk(max(halo_lo, 1), top_map), blk(th, cur_map),
+                blk(max(halo_hi, 1), bot_map)]
+    args = [x, x, x]
+    vec = lambda c: pl.BlockSpec((1, c), lambda ni, i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    if quant:
+        in_specs += [vec(k2)]
+        args += [jnp.asarray(in_scales, jnp.float32).reshape(1, k2)]
+    in_specs += [pl.BlockSpec((ny, nx * k2, co), lambda ni, i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    args += [w.reshape(ny, nx * k2, co)]
+    ws_vec = (jnp.asarray(w_scales, jnp.float32).reshape(1, co) if quant
+              else jnp.ones((1, co), jnp.float32))
+    in_specs += [vec(co), vec(co)]
+    args += [ws_vec, jnp.asarray(bias, jnp.float32).reshape(1, co)]
+    if out_int8:
+        in_specs += [vec(co)]
+        args += [jnp.asarray(out_scales, jnp.float32).reshape(1, co)]
+
+    out_dtype = jnp.int8 if out_int8 else jnp.bfloat16
+    kernel = functools.partial(_kernel, th=th, ny=ny, nx=nx, px_l=px_l,
+                               quant=quant, out_int8=out_int8,
+                               slope=negative_slope)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, th, w2, co), cur_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w2, co), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+def _reference(x, w, *, pads, w_scales, bias, in_scales, out_scales,
+               negative_slope):
+    """Pure-XLA fallback: identical math (int32 accumulation, same f32
+    epilogue order), used on CPU and as the test oracle."""
+    from video_cycle_gan_upscaling_tpu.ops import subpixel as sp
+
+    ny, nx, k2, co = w.shape
+    if in_scales is not None:
+        q = jnp.clip(jnp.round(x.astype(jnp.float32)
+                               * in_scales.reshape(-1)), -127, 127
+                     ).astype(jnp.int8)
+        acc = lax.conv_general_dilated(
+            q, w, (1, 1), pads, dimension_numbers=sp.CONV_DIMS,
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * w_scales.reshape(-1) + bias.reshape(-1)
+    else:
+        acc = lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (1, 1), pads,
+            dimension_numbers=sp.CONV_DIMS)
+        y = acc.astype(jnp.float32) + bias.reshape(-1)
+    y = jnp.where(y < 0.0, negative_slope * y, y)
+    if out_scales is not None:
+        return jnp.clip(jnp.round(y * out_scales.reshape(-1)), -127, 127
+                        ).astype(jnp.int8)
+    return y.astype(jnp.bfloat16)

@@ -131,8 +131,15 @@ def _rearrange_transpose_kernel(w: jax.Array, s: int):
     iy = _axis_index_map(taps_y, s, n_y, k_y)  # [s, ny]
     ix = _axis_index_map(taps_x, s, n_x, k_x)  # [s, nx]
     w_pad = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    # one-hot selection einsums instead of a fancy-index gather: the
+    # gather's autodiff is a serialized scatter-add on TPU (the phase
+    # tail's training-graph tax, scripts/microbench_r3h.py); the einsum
+    # adjoint is just the transposed einsum. The one-hot factors are
+    # trace-time constants, and 0/1 multiplies keep the result exact.
+    ey = jnp.asarray(np.eye(k_y + 1, dtype=np.float32)[iy], w_pad.dtype)
+    ex = jnp.asarray(np.eye(k_x + 1, dtype=np.float32)[ix], w_pad.dtype)
     # g[a, vy, b, vx, C, O]
-    g = w_pad[iy[:, :, None, None], ix[None, None, :, :]]
+    g = jnp.einsum("ayK,bxL,KLco->aybxco", ey, ex, w_pad)
     # -> [vy, vx, C, a, b, O] -> [ny, nx, C, s*s*O]
     g = g.transpose(1, 3, 4, 0, 2, 5)
     wp = g.reshape(n_y, n_x, c_in, s * s * c_out)
@@ -211,8 +218,12 @@ def rearrange_same_kernel_axes(w: jax.Array, s_y: int, s_x: int,
     iy = _same_axis_index_map(pl_y, s_y, n_y, k_y)  # [ay, cy, vy]
     ix = _same_axis_index_map(pl_x, s_x, n_x, k_x)  # [bx, cx, vx]
     w_pad = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    # one-hot selection einsums instead of a fancy-index gather — same
+    # scatter-free-adjoint rationale as _rearrange_transpose_kernel.
+    ey = jnp.asarray(np.eye(k_y + 1, dtype=np.float32)[iy], w_pad.dtype)
+    ex = jnp.asarray(np.eye(k_x + 1, dtype=np.float32)[ix], w_pad.dtype)
     # g[ay, cy, vy, bx, cx, vx, C, O]
-    g = w_pad[iy[:, :, :, None, None, None], ix[None, None, None, :, :, :]]
+    g = jnp.einsum("acvK,bdwL,KLio->acvbdwio", ey, ex, w_pad)
     # -> [vy, vx, cy, cx, C, ay, bx, O]
     g = g.transpose(2, 5, 1, 4, 6, 0, 3, 7)
     wp = g.reshape(n_y, n_x, s_y * s_x * c_in, s_y * s_x * c_out)
