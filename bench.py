@@ -102,12 +102,13 @@ def bench_tiled_inference():
     variables = model.init(rng, jnp.zeros((1, *TILE_HW, 3), jnp.float32))
     params = variables["params"]
 
-    # three quality/speed product points: full bf16 (compliant by
-    # construction), bf16 trunk + W8A8 tail ("i8tail" — the trunk
-    # dominates int8 error, docs/PERF.md round-3 isolation), and full
-    # W8A8 ("int8" turbo)
+    # four quality/speed product points: full bf16 (compliant by
+    # construction), bf16 trunk + hybrid W8A8 tail ("i8tail" — the trunk
+    # dominates int8 error, docs/PERF.md round-3 isolation), bf16 trunk
+    # + all-W8A8 tail incl. head ("tail8"), and full W8A8 ("int8" turbo)
     runners = {}
-    for tag, quant in (("bf16", False), ("i8tail", "tail"), ("int8", True)):
+    for tag, quant in (("bf16", False), ("i8tail", "tail"),
+                       ("tail8", "tail8"), ("int8", True)):
         r = FastOrigRunner(params, res_block_num=16, upscale_factor=FACTOR,
                            tile_hw=TILE_HW, quant=quant)
         runners[tag] = (r, jax.device_put(r.qp))
@@ -167,7 +168,7 @@ def bench_tiled_inference():
         return fps, up
 
     results = {}
-    for tag in ("int8", "i8tail", "bf16"):
+    for tag in ("int8", "tail8", "i8tail", "bf16"):
         batch = FRAME_BATCH
         while batch >= 2:
             try:
@@ -189,7 +190,7 @@ def bench_tiled_inference():
     if "bf16" in results:
         out_b = jax.jit(results["bf16"][1])(runners["bf16"][1], frame)
         best = results["bf16"][0]
-        for tag in ("i8tail", "int8"):
+        for tag in ("i8tail", "tail8", "int8"):
             if tag not in results:
                 continue
             out_q = jax.jit(results[tag][1])(runners[tag][1], frame)
@@ -244,7 +245,8 @@ def bench_x4_inference():
     ev = _frame("eval_ukiyo_1080p.jpg", Image.LANCZOS)
 
     runners = {}
-    for tag, quant in (("bf16", False), ("i8tail", "tail"), ("int8", True)):
+    for tag, quant in (("bf16", False), ("i8tail", "tail"),
+                       ("tail8", "tail8"), ("int8", True)):
         r = FastOrigRunner(params, res_block_num=16, upscale_factor=4,
                            tile_hw=hw, quant=quant)
         qp = jax.device_put(r.qp)

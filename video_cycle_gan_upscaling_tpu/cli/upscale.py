@@ -49,8 +49,13 @@ def main(argv=None):
                    help="W8A8 int8 trunk+tail (orig generator only; "
                         "lossy — see docs/PERF.md)")
     p.add_argument("--turbo-tail", action="store_true",
-                   help="bf16 trunk + W8A8 tail: the fastest mode inside "
-                        "the ≤0.1 dB quality budget (orig generator only)")
+                   help="bf16 trunk + W8A8 up conv + bf16 head (hybrid "
+                        "tail): the conservative budget mode (orig "
+                        "generator only)")
+    p.add_argument("--turbo-tail8", action="store_true",
+                   help="bf16 trunk + all-W8A8 tail (head included): "
+                        "faster than --turbo-tail, quantizes the head "
+                        "(orig generator only)")
     p.add_argument("--dp", type=int, default=None, metavar="N",
                    help="Data-parallel inference over the first N devices "
                         "(frames batch-sharded over a 1-D mesh, params "
@@ -92,11 +97,13 @@ def main(argv=None):
 
     apply_fn = lambda prm, x: model.apply({"params": prm}, x)
     apply_fn_u8 = None
-    if (args.turbo or args.turbo_tail) and cfg.model.generator != "orig":
-        raise SystemExit("--turbo/--turbo-tail support the 'orig' "
-                         "generator only")
-    quant_mode = True if args.turbo else ("tail" if args.turbo_tail
-                                          else False)
+    if ((args.turbo or args.turbo_tail or args.turbo_tail8)
+            and cfg.model.generator != "orig"):
+        raise SystemExit("--turbo/--turbo-tail/--turbo-tail8 support the "
+                         "'orig' generator only")
+    quant_mode = (True if args.turbo else
+                  "tail8" if args.turbo_tail8 else
+                  "tail" if args.turbo_tail else False)
     if cfg.model.generator == "orig":
         # fused-kernel inference runner (Pallas conv+IN trunk, prepacked
         # phase tail; --turbo switches the trunk to W8A8) — ~4x the

@@ -34,6 +34,7 @@ in phase space.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Optional, Tuple
 
 import jax
@@ -181,7 +182,12 @@ def pair_conv_fused(
     if interpret is None:
         interpret = _norms.INTERPRET
     use_pallas = (_HAVE_PALLAS and (_norms._on_tpu() or interpret)
-                  and (py_l, py_h) == (halo_lo, halo_hi))
+                  and (py_l, py_h) == (halo_lo, halo_hi)
+                  # in-graph A/B gate: VCGU_PAIR_XLA=1 runs the identical-
+                  # math XLA chain instead (scripts/pair_conv_ab.py showed
+                  # the two within ~10% either way at the product
+                  # geometries; the fused kernel wins when emitting int8)
+                  and _os.environ.get("VCGU_PAIR_XLA", "0") != "1")
     th = _pick_th(h, w2, k2, co, ny, quant=quant, out_int8=out_int8) \
         if use_pallas else None
     if th is None:
