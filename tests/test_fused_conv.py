@@ -247,3 +247,41 @@ def test_fast_orig_runner_int8_tail(quant, factor):
     psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
     assert psnr > (40.0 if quant == "tail" else
                    35.0 if quant == "tail8" else 30.0), (quant, psnr)
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+@pytest.mark.parametrize("quant", ["tail", "tail8"])
+def test_fast_orig_runner_exact_phase_up(quant, factor, monkeypatch):
+    """VCGU_EXACT_UP=1: stage-1 as four exact-phase convs must match the
+    pair-form tail to quantization-rounding tolerance (same linear map,
+    independently quantized weights)."""
+    from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
+    from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
+
+    model = UpscalerOrig(kernel_size=5, filters=8, upscale_factor=factor,
+                         res_block_num=2, dtype=jnp.float32, phase_tail=True)
+    x = _mk(jax.random.PRNGKey(8), (1, 12, 16, 3), 0.5)
+    variables = model.init(jax.random.PRNGKey(9), x)
+    ref = model.apply(variables, x)
+
+    pnorms.INTERPRET = True
+    try:
+        monkeypatch.setenv("VCGU_EXACT_UP", "1")
+        runner = FastOrigRunner(variables["params"], res_block_num=2,
+                                upscale_factor=factor, tile_hw=(12, 16),
+                                quant=quant, dtype=jnp.float32)
+        assert runner.up_exact
+        qp = runner.calibrate(runner.qp, x)
+        got = runner.apply(qp, x)
+        u8 = runner.apply_u8(qp, x)
+    finally:
+        pnorms.INTERPRET = False
+    assert got.shape == ref.shape
+    mse = float(np.mean((np.asarray(got, np.float32)
+                         - np.asarray(ref, np.float32)) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
+    assert psnr > (40.0 if quant == "tail" else 35.0), (quant, psnr)
+    from video_cycle_gan_upscaling_tpu.ops.codec import unit_to_uint8
+
+    np.testing.assert_array_equal(np.asarray(u8),
+                                  np.asarray(unit_to_uint8(got)))

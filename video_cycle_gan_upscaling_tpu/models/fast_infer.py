@@ -190,6 +190,7 @@ class FastOrigRunner:
         self.extra = extra
         self.up_plans = []
         self.up_fused = False
+        self.up_exact = False
         self._tail_masters: Dict[str, Any] = {}
         if self.xpack_ready:
             if self.times == 2:
@@ -240,6 +241,29 @@ class FastOrigRunner:
                 if self.times == 2:
                     self._tail_masters["up0_pair"] = np.asarray(
                         wk0, np.float32)
+            # exact-phase stage-1 (VCGU_EXACT_UP=1): one conv PER OUTPUT
+            # PHASE on the unpacked stream, each sliced to its true tap
+            # support — 25C taps/HR-pixel total vs the pair form's 48C
+            # (1.92x structural padding; the pair form already runs at
+            # ~87% of ITS roofline, so the remaining win is formulation,
+            # scripts/pair_conv_ab.py + docs/PERF.md round 3). Phase
+            # lane order (py,px,c) matches the pair form's folded s1.
+            self.up_exact = (self.tail_quant and _os.environ.get(
+                "VCGU_EXACT_UP", "0") == "1")
+            if self.up_exact:
+                wpn = np.asarray(wp_k, np.float32)  # [n_y,n_x,C,4C']
+                phases = []
+                for ph in range(4):
+                    blk = wpn[..., ph * c_up:(ph + 1) * c_up]
+                    ys = [ky for ky in range(n_y) if np.any(blk[ky])]
+                    xs = [kx for kx in range(n_x) if np.any(blk[:, kx])]
+                    a0, y1_ = ys[0], ys[-1] + 1
+                    b0, x1_ = xs[0], xs[-1] + 1
+                    pads = ((int(q_y - a0), int(y1_ - 1 - q_y)),
+                            (int(q_x - b0), int(x1_ - 1 - q_x)))
+                    phases.append((blk[a0:y1_, b0:x1_], pads))
+                self._tail_masters["up_phases"] = phases
+                self.up_phase_pads = [p for _, p in phases]
         else:
             rr = self.block0
             for i in range(self.times):
@@ -334,23 +358,29 @@ class FastOrigRunner:
         # runtime cost (default path only; the env-gated fused-up-conv
         # experiment skips it)
         if not (self.up_fused and self.head_quant):
+            w_phases = [jnp.asarray(w) for w, _ in
+                        self._tail_masters.get("up_phases", [])]
             err0, err1, err2 = jax.jit(self._tail_bias_err)(
                 qp, x, jnp.asarray(self._tail_masters["up_pair"]),
-                jnp.asarray(self._tail_masters["head"]))
+                jnp.asarray(self._tail_masters["head"]), *w_phases)
             if self.times == 2:
                 qp["up0_b_c"] = qp["up0_b_c"] - err0
-            qp["up_b_c"] = qp["up_b_c"] - err1
+            if self.up_exact:
+                qp["upx_b_c"] = qp["upx_b_c"] - err1
+            else:
+                qp["up_b_c"] = qp["up_b_c"] - err1
             if self.head_quant:
                 qp["final_b_c"] = qp["final_b_c"] - err2
         self.tail_calibrated = True
         return qp
 
-    def _tail_bias_err(self, qp, x, w_up_f, w_head_f):
+    def _tail_bias_err(self, qp, x, w_up_f, w_head_f, *w_phases):
         """Mean pre-activation error of the calibrated int8 tail vs the
         f32 tail on the sample batch: (err_up0 [8*c_mid] — zeros for x2,
-        err_up [8*C_up], err_head [96]). The quantized side mirrors the
-        runtime chain (each stage consumes the previous QUANTIZED
-        stage's bias-corrected output)."""
+        err_up [8*C_up] (pair) or [4*C_up] (exact-phase), err_head
+        [96]). The quantized side mirrors the runtime chain (each stage
+        consumes the previous QUANTIZED stage's bias-corrected
+        output)."""
         trunk = self.apply_trunk(qp, self.apply_stem(qp, x))
         n, h, wp_, cp = trunk.shape
         y = trunk.reshape(n, h, wp_ * self.pack, self.filters
@@ -382,27 +412,54 @@ class FastOrigRunner:
             err0 = jnp.zeros((8 * qp["up_b_0"].shape[0],), jnp.float32)
             y_q = y_f = y
             s_in = s0
-        b8 = jnp.tile(qp["up_b_0"], 8).astype(jnp.float32)
         q0 = jnp.clip(jnp.round(y_q * s_in), -127, 127).astype(jnp.int8)
         nn_, hh_, ww_, cc_ = y_f.shape
-        yp_f = y_f.reshape(nn_, hh_, ww_ // 2, 2 * cc_)
-        q0p = q0.reshape(yp_f.shape)
-        acc_f = lax.conv_general_dilated(
-            yp_f, w_up_f, (1, 1), self.up_pads_q,
-            dimension_numbers=sp.CONV_DIMS)
-        acc_q = lax.conv_general_dilated(
-            q0p, qp["up_w_q"], (1, 1), self.up_pads_q,
-            dimension_numbers=sp.CONV_DIMS,
-            preferred_element_type=jnp.int32
-        ).astype(jnp.float32) * qp["up_w_ws"]
-        err1 = jnp.mean(acc_q - acc_f, axis=(0, 1, 2))
-        if not self.head_quant:   # hybrid tail: bf16 head, no err2
-            return err0, err1, jnp.zeros((32 * qp["final_b"].shape[0],),
-                                         jnp.float32)
-        y1_q = vops.leaky_relu(acc_q + b8 - err1, 0.2)
-        y1_f = vops.leaky_relu(acc_f + b8, 0.2)
-        q1 = jnp.clip(jnp.round(y1_q * jnp.tile(s1, 2)), -127, 127
-                      ).astype(jnp.int8)
+        if self.up_exact:
+            # exact-phase chain: per-phase accs, concatenated (py,px,c)
+            cq = w_phases[0].shape[-1]
+            acc_q = jnp.concatenate([
+                lax.conv_general_dilated(
+                    q0, qp[f"upx{ph}_w_q"], (1, 1), self.up_phase_pads[ph],
+                    dimension_numbers=sp.CONV_DIMS,
+                    preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * qp[f"upx{ph}_ws"]
+                for ph in range(4)], axis=-1)
+            acc_f = jnp.concatenate([
+                lax.conv_general_dilated(
+                    y_f, w_phases[ph], (1, 1), self.up_phase_pads[ph],
+                    dimension_numbers=sp.CONV_DIMS)
+                for ph in range(4)], axis=-1)
+            err1 = jnp.mean(acc_q - acc_f, axis=(0, 1, 2))  # [4C']
+            if not self.head_quant:
+                return err0, err1, jnp.zeros(
+                    (32 * qp["final_b"].shape[0],), jnp.float32)
+            b4 = jnp.tile(qp["up_b_0"], 4).astype(jnp.float32)
+            y1_q = vops.leaky_relu(acc_q + b4 - err1, 0.2)
+            y1_f = vops.leaky_relu(acc_f + b4, 0.2)
+            q1 = jnp.clip(jnp.round(y1_q * s1), -127, 127
+                          ).astype(jnp.int8)
+            q1 = q1.reshape(nn_, hh_, ww_ // 2, 8 * cq)
+            y1_f = y1_f.reshape(nn_, hh_, ww_ // 2, 8 * cq)
+        else:
+            b8 = jnp.tile(qp["up_b_0"], 8).astype(jnp.float32)
+            yp_f = y_f.reshape(nn_, hh_, ww_ // 2, 2 * cc_)
+            q0p = q0.reshape(yp_f.shape)
+            acc_f = lax.conv_general_dilated(
+                yp_f, w_up_f, (1, 1), self.up_pads_q,
+                dimension_numbers=sp.CONV_DIMS)
+            acc_q = lax.conv_general_dilated(
+                q0p, qp["up_w_q"], (1, 1), self.up_pads_q,
+                dimension_numbers=sp.CONV_DIMS,
+                preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * qp["up_w_ws"]
+            err1 = jnp.mean(acc_q - acc_f, axis=(0, 1, 2))
+            if not self.head_quant:   # hybrid tail: bf16 head, no err2
+                return err0, err1, jnp.zeros(
+                    (32 * qp["final_b"].shape[0],), jnp.float32)
+            y1_q = vops.leaky_relu(acc_q + b8 - err1, 0.2)
+            y1_f = vops.leaky_relu(acc_f + b8, 0.2)
+            q1 = jnp.clip(jnp.round(y1_q * jnp.tile(s1, 2)), -127, 127
+                          ).astype(jnp.int8)
         zeros96 = jnp.zeros((32 * qp["final_b"].shape[0],), jnp.float32)
         hd_q = head_conv.head_conv_s48_pre(q1, qp["final_w_q"],
                                            qp["final_w_ws"], zeros96,
@@ -479,7 +536,15 @@ class FastOrigRunner:
             qp["up0_b_c"] = jnp.tile(qp["up0_b"], 8).astype(jnp.float32)
             qp["tail_sm"] = jnp.asarray(sm)
             s_in = sm
-        if self.up_fused and self.head_quant:
+        if self.up_exact:
+            # exact-phase stage 1: one sliced kernel per output phase,
+            # s_in folded into each input axis (unpacked C channels)
+            for ph, (w_ph, _) in enumerate(
+                    self._tail_masters["up_phases"]):
+                qp[f"upx{ph}_w_q"], qp[f"upx{ph}_ws"] = q_oc(
+                    w_ph, np.asarray(s_in, np.float32), 2)
+            qp["upx_b_c"] = jnp.tile(qp["up_b_0"], 4).astype(jnp.float32)
+        elif self.up_fused and self.head_quant:
             # unpacked [3, KW*C, 4C'] matrix: contraction lanes (dx, c)
             kw = self._tail_masters["up_unpacked"].shape[1] // self.filters
             qp["up_w_q"], qp["up_w_ws"] = q_oc(
@@ -700,7 +765,40 @@ class FastOrigRunner:
                 bias=qp["up0_b_c"], in_scales=jnp.tile(s0, 2))
             y = self._up0_to_canonical(y0)
             s0 = qp["tail_sm"]
-        if self.up_fused and self.head_quant:
+        if self.up_exact:
+            # exact-phase stage 1 (VCGU_EXACT_UP=1): one conv per output
+            # phase at its true tap support — 25C taps/HR-pixel vs the
+            # pair form's 48C. Four convs re-read the int8 input
+            # (~0.3 GB/frame extra HBM) but drop ~1.6 TFLOP/frame of
+            # structural-zero MACs at the x4 geometry.
+            q0 = jnp.clip(jnp.round(y.astype(jnp.float32) * s0), -127, 127
+                          ).astype(jnp.int8)
+            c_up4 = qp["upx_b_c"].shape[0]
+            cq = c_up4 // 4
+            parts = []
+            for ph in range(4):
+                acc = lax.conv_general_dilated(
+                    q0, qp[f"upx{ph}_w_q"], (1, 1), self.up_phase_pads[ph],
+                    dimension_numbers=sp.CONV_DIMS,
+                    preferred_element_type=jnp.int32)
+                z = (acc.astype(jnp.float32) * qp[f"upx{ph}_ws"]
+                     + qp["upx_b_c"][ph * cq:(ph + 1) * cq])
+                z = vops.leaky_relu(z, 0.2)
+                if self.head_quant:
+                    z = jnp.clip(jnp.round(z * s1[ph * cq:(ph + 1) * cq]),
+                                 -127, 127).astype(jnp.int8)
+                else:
+                    z = z.astype(self.dtype)
+                parts.append(z)
+            y1 = jnp.concatenate(parts, axis=-1)    # [N,H,W,4C'] (py,px,c)
+            n, h, w_, cs = y1.shape
+            q1 = y1.reshape(n, h, w_ // 2, 2 * cs)  # free W-pair pack
+            if not self.head_quant:
+                yp = head_conv.head_conv_s48(
+                    q1, qp["head_w_x"], None, qp["final_b_c"],
+                    self.final_px_q, emit_u8=emit_u8)
+                return sp.depth_to_space_axes(yp, 4, 8)
+        elif self.up_fused and self.head_quant:
             # env-gated experiment: fused Pallas up conv on the UNPACKED
             # phase kernel. s1 folds through the positively-homogeneous
             # LeakyReLU.

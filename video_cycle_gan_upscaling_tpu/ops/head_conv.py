@@ -81,7 +81,23 @@ def head_conv_s48(q1: jax.Array, wq: jax.Array, ws, bias96: jax.Array,
     ``emit_u8``: fold the codec emit (ops/codec.py unit_to_uint8) into
     the conv epilogue — the HR stream then leaves the head as uint8, so
     the depth_to_space relayout and every downstream pass move 1 byte/px
-    instead of 4 (the clip path's operating mode)."""
+    instead of 4 (the clip path's operating mode).
+
+    A fused Pallas variant of this stage (ops/pallas/head_s48.py)
+    measured SLOWER than this XLA formulation isolated on v5e (int8
+    5.45 vs 4.63 ms/f; bf16 OOM'd at the flagship geometry) — XLA
+    already runs the head near its padded-form roofline and fuses the
+    tanh + uint8 emit into the conv epilogue. Kept env-gated
+    (VCGU_HEAD_PALLAS=1) with its oracle tests; docs/PERF.md round 3."""
+    import os as _os
+
+    if _os.environ.get("VCGU_HEAD_PALLAS", "0") == "1":
+        from video_cycle_gan_upscaling_tpu.ops.pallas import head_s48
+
+        out = head_s48.head_s48_fused(q1, wq, ws, bias96, px,
+                                      emit_u8=emit_u8)
+        if out is not None:
+            return out
     yp = jnp.tanh(head_conv_s48_pre(q1, wq, ws, bias96, px))
     if emit_u8:
         return jnp.clip(jnp.round((yp + 1.0) * 127.5), 0, 255

@@ -181,13 +181,21 @@ def pair_conv_fused(
     out_int8 = out_scales is not None
     if interpret is None:
         interpret = _norms.INTERPRET
+    # Measured dispatch (scripts/pair_conv_ab.py + in-graph bench A/B on
+    # v5e): the fused kernel wins when EMITTING INT8 (9.96 vs 10.84 ms/f
+    # at the x4 stage-1 geometry — the int8 emit halves the output HBM
+    # crossing and XLA can't fuse the requant into its conv custom
+    # call); when emitting bf16, XLA's conv + fused epilogue is equal or
+    # faster (hybrid-tail clip 27.96 -> 26.85 fps regression when forced
+    # through the kernel), so bf16-emit stays on the XLA chain.
+    # VCGU_PAIR_XLA=1 / VCGU_PAIR_PALLAS=1 force either side for A/Bs.
+    if _os.environ.get("VCGU_PAIR_XLA") == "1":
+        want_pallas = False
+    else:  # interpret mode always runs the kernel (test coverage)
+        want_pallas = (out_int8 or bool(interpret)
+                       or _os.environ.get("VCGU_PAIR_PALLAS") == "1")
     use_pallas = (_HAVE_PALLAS and (_norms._on_tpu() or interpret)
-                  and (py_l, py_h) == (halo_lo, halo_hi)
-                  # in-graph A/B gate: VCGU_PAIR_XLA=1 runs the identical-
-                  # math XLA chain instead (scripts/pair_conv_ab.py showed
-                  # the two within ~10% either way at the product
-                  # geometries; the fused kernel wins when emitting int8)
-                  and _os.environ.get("VCGU_PAIR_XLA", "0") != "1")
+                  and (py_l, py_h) == (halo_lo, halo_hi) and want_pallas)
     th = _pick_th(h, w2, k2, co, ny, quant=quant, out_int8=out_int8) \
         if use_pallas else None
     if th is None:
