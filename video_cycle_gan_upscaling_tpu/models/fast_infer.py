@@ -264,6 +264,15 @@ class FastOrigRunner:
                     phases.append((blk[a0:y1_, b0:x1_], pads))
                 self._tail_masters["up_phases"] = phases
                 self.up_phase_pads = [p for _, p in phases]
+                if not self.head_quant:
+                    # hybrid exact: per-phase lane slices of the bf16
+                    # head kernel (the quant-head slices are built from
+                    # the quantized kernel in _refold_tail)
+                    for ph in range(4):
+                        idx = head_conv.head_lane_slice(c_up, ph)
+                        qp[f"head_w_x_ph{ph}"] = jnp.asarray(
+                            np.asarray(wd, np.float32)[:, :, idx, :],
+                            dtype)
         else:
             rr = self.block0
             for i in range(self.times):
@@ -557,6 +566,13 @@ class FastOrigRunner:
             # head input channels are W-pair slots (cx*4C'+u): s1 tiled 2
             qp["final_w_q"], qp["final_w_ws"] = q_oc(
                 self._tail_masters["head"], np.tile(s1, 2), 2)
+            if self.up_exact:
+                c_up = s1.shape[0] // 4
+                wq_np = np.asarray(qp["final_w_q"])
+                for ph in range(4):
+                    idx = head_conv.head_lane_slice(c_up, ph)
+                    qp[f"final_w_q_ph{ph}"] = jnp.asarray(
+                        wq_np[:, :, idx, :])
         qp["tail_s0"] = jnp.asarray(s0)
         qp["tail_s1"] = jnp.asarray(s1)
         # stage biases as full vectors (calibrate() then subtracts the
@@ -768,14 +784,16 @@ class FastOrigRunner:
         if self.up_exact:
             # exact-phase stage 1 (VCGU_EXACT_UP=1): one conv per output
             # phase at its true tap support — 25C taps/HR-pixel vs the
-            # pair form's 48C. Four convs re-read the int8 input
-            # (~0.3 GB/frame extra HBM) but drop ~1.6 TFLOP/frame of
-            # structural-zero MACs at the x4 geometry.
+            # pair form's 48C. The head is linear over lane groups, so
+            # each phase part feeds its own head conv on its lane slice
+            # of the head kernel and the int32/f32 accs sum — the
+            # concatenated HR stream NEVER materializes (concat form
+            # OOM'd HBM at the x4 hybrid flagship: +4 GB peak).
             q0 = jnp.clip(jnp.round(y.astype(jnp.float32) * s0), -127, 127
                           ).astype(jnp.int8)
             c_up4 = qp["upx_b_c"].shape[0]
             cq = c_up4 // 4
-            parts = []
+            acc_h = None
             for ph in range(4):
                 acc = lax.conv_general_dilated(
                     q0, qp[f"upx{ph}_w_q"], (1, 1), self.up_phase_pads[ph],
@@ -787,17 +805,19 @@ class FastOrigRunner:
                 if self.head_quant:
                     z = jnp.clip(jnp.round(z * s1[ph * cq:(ph + 1) * cq]),
                                  -127, 127).astype(jnp.int8)
+                    w_ph = qp[f"final_w_q_ph{ph}"]
                 else:
                     z = z.astype(self.dtype)
-                parts.append(z)
-            y1 = jnp.concatenate(parts, axis=-1)    # [N,H,W,4C'] (py,px,c)
-            n, h, w_, cs = y1.shape
-            q1 = y1.reshape(n, h, w_ // 2, 2 * cs)  # free W-pair pack
-            if not self.head_quant:
-                yp = head_conv.head_conv_s48(
-                    q1, qp["head_w_x"], None, qp["final_b_c"],
-                    self.final_px_q, emit_u8=emit_u8)
-                return sp.depth_to_space_axes(yp, 4, 8)
+                    w_ph = qp[f"head_w_x_ph{ph}"]
+                n, h, w_, cs = z.shape
+                zp = z.reshape(n, h, w_ // 2, 2 * cs)  # free W-pair pack
+                a = head_conv.head_conv_s48_acc(zp, w_ph, self.final_px_q)
+                acc_h = a if acc_h is None else acc_h + a
+            yp = acc_h.astype(jnp.float32)
+            if self.head_quant:
+                yp = yp * qp["final_w_ws"]
+            yp = head_conv.head_epilogue(yp + qp["final_b_c"], emit_u8)
+            return sp.depth_to_space_axes(yp, 4, 8)
         elif self.up_fused and self.head_quant:
             # env-gated experiment: fused Pallas up conv on the UNPACKED
             # phase kernel. s1 folds through the positively-homogeneous

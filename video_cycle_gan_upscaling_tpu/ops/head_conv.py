@@ -109,12 +109,41 @@ def head_conv_s48_pre(q1: jax.Array, wq: jax.Array, ws, bias96: jax.Array,
                       px: tuple) -> jax.Array:
     """``head_conv_s48`` up to (excluding) the tanh — the pre-activation
     the calibration bias-correction pass compares against."""
-    acc_t = jnp.int32 if q1.dtype == jnp.int8 else jnp.float32
-    acc = lax.conv_general_dilated(
-        q1, wq, (2, 2), ((2, 3), px),
-        dimension_numbers=sp.CONV_DIMS,
-        preferred_element_type=acc_t)
-    yp = acc.astype(jnp.float32)
+    yp = head_conv_s48_acc(q1, wq, px).astype(jnp.float32)
     if ws is not None:
         yp = yp * ws[None, None, None, :]
     return yp + bias96[None, None, None, :]
+
+
+def head_conv_s48_acc(q1: jax.Array, wq: jax.Array, px: tuple) -> jax.Array:
+    """Raw head-conv accumulator (int32 for int8 inputs, f32 otherwise).
+
+    The head is linear over input-lane groups, so callers holding the up
+    conv's output as per-phase PARTS (the exact-phase stage-1 path,
+    models/fast_infer.py) run one of these per part on its lane slice of
+    the kernel and sum — the concatenated HR stream never materializes."""
+    acc_t = jnp.int32 if q1.dtype == jnp.int8 else jnp.float32
+    return lax.conv_general_dilated(
+        q1, wq, (2, 2), ((2, 3), px),
+        dimension_numbers=sp.CONV_DIMS,
+        preferred_element_type=acc_t)
+
+
+def head_epilogue(yp_pre: jax.Array, emit_u8: bool) -> jax.Array:
+    """tanh (+ codec uint8 emit) — head_conv_s48's epilogue on an
+    externally assembled pre-activation."""
+    yp = jnp.tanh(yp_pre)
+    if emit_u8:
+        return jnp.clip(jnp.round((yp + 1.0) * 127.5), 0, 255
+                        ).astype(jnp.uint8)
+    return yp
+
+
+def head_lane_slice(c_up: int, ph: int):
+    """Input-lane indices of output phase ``ph`` (a,b) in the x-packed
+    8C layout (u = cx*4C + ph*C + o): both W-pair slots, that phase's C
+    channels."""
+    import numpy as np
+
+    o = np.arange(c_up)
+    return np.concatenate([cx * 4 * c_up + ph * c_up + o for cx in (0, 1)])
