@@ -241,15 +241,22 @@ class FastOrigRunner:
                 if self.times == 2:
                     self._tail_masters["up0_pair"] = np.asarray(
                         wk0, np.float32)
-            # exact-phase stage-1 (VCGU_EXACT_UP=1): one conv PER OUTPUT
-            # PHASE on the unpacked stream, each sliced to its true tap
-            # support — 25C taps/HR-pixel total vs the pair form's 48C
-            # (1.92x structural padding; the pair form already runs at
-            # ~87% of ITS roofline, so the remaining win is formulation,
-            # scripts/pair_conv_ab.py + docs/PERF.md round 3). Phase
-            # lane order (py,px,c) matches the pair form's folded s1.
-            self.up_exact = (self.tail_quant and _os.environ.get(
-                "VCGU_EXACT_UP", "0") == "1")
+            # exact-phase stage-1: one conv PER OUTPUT PHASE on the
+            # unpacked stream, each sliced to its true tap support —
+            # 25C taps/HR-pixel total vs the pair form's 48C (1.92x
+            # structural padding; the pair form already runs at ~87% of
+            # ITS roofline, so the win is formulation). Measured on v5e
+            # (scripts/exact_up_ab.py): x4 tail8 26.42 -> 17.44 ms/f
+            # (-34%), x4 hybrid 29.61 -> 20.18, identical quality; at
+            # x2 the 64ch input underutilizes the small per-phase convs
+            # (31.92 -> 32.78, slightly worse) — so exact is the x4
+            # (times==2) default, pair the x2 default; VCGU_EXACT_UP=1/0
+            # overrides. Phase lane order (py,px,c) matches the pair
+            # form's folded s1.
+            _exact_env = _os.environ.get("VCGU_EXACT_UP")
+            self.up_exact = self.tail_quant and (
+                _exact_env == "1"
+                or (_exact_env != "0" and self.times == 2))
             if self.up_exact:
                 wpn = np.asarray(wp_k, np.float32)  # [n_y,n_x,C,4C']
                 phases = []
