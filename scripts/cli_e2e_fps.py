@@ -70,7 +70,9 @@ def make_run_dir(root, factor):
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 16, 16, 3), jnp.float32))["params"]
     ckpt = CheckpointManager(cfg.run_dirs()["models"])
-    ckpt.save_best({"params": jax.device_get(params)})
+    state = {"params": jax.device_get(params)}
+    ckpt.save_best(state)
+    ckpt.save(0, state)  # the CLI's default restore is latest-step
     return rundir
 
 
@@ -82,15 +84,17 @@ def run(factor, with_sink):
     frames_dir = os.path.join(root, "frames")
     make_frames(frames_dir, hw)
     rundir = make_run_dir(root, factor)
+    # each geometry's budget-compliant headline mode (bench.py gate)
+    mode = "--turbo-tail" if factor == 2 else "--turbo-tail8"
     argv = ["-r", rundir, "-i", frames_dir,
             "--frame-height", str(hw[0]), "--frame-width", str(hw[1]),
             "--tile-height", str(hw[0]), "--tile-width", str(hw[1]),
-            "--overlap", "16", "--turbo-tail"]
+            "--overlap", "16", mode]
     if with_sink:
         argv += ["-o", os.path.join(root, "out")]
     result = upscale.main(argv)
     tag = "decode+sink" if with_sink else "decode-only"
-    log(f"x{factor} {hw[0]}p->{hw[0] * factor}p CLI --turbo-tail "
+    log(f"x{factor} {hw[0]}p->{hw[0] * factor}p CLI {mode} "
         f"[{tag}]: {result['fps']:.2f} fps end-to-end "
         f"({result['frames']} frames)")
     return result["fps"]
