@@ -251,10 +251,14 @@ def test_fast_orig_runner_int8_tail(quant, factor):
 
 @pytest.mark.parametrize("factor", [2, 4])
 @pytest.mark.parametrize("quant", ["tail", "tail8"])
-def test_fast_orig_runner_exact_phase_up(quant, factor, monkeypatch):
+@pytest.mark.parametrize("pallas", [False, True])
+def test_fast_orig_runner_exact_phase_up(quant, factor, pallas,
+                                         monkeypatch):
     """VCGU_EXACT_UP=1: stage-1 as four exact-phase convs must match the
     pair-form tail to quantization-rounding tolerance (same linear map,
-    independently quantized weights)."""
+    independently quantized weights); VCGU_PHASE_UP=1 (the one-pass
+    Pallas form) must match the XLA exact form bit-exactly (identical
+    integer accumulation and f32 epilogue order)."""
     from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
     from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
 
@@ -267,11 +271,15 @@ def test_fast_orig_runner_exact_phase_up(quant, factor, monkeypatch):
     pnorms.INTERPRET = True
     try:
         monkeypatch.setenv("VCGU_EXACT_UP", "1")
+        monkeypatch.setenv("VCGU_PHASE_UP", "1" if pallas else "0")
         runner = FastOrigRunner(variables["params"], res_block_num=2,
                                 upscale_factor=factor, tile_hw=(12, 16),
                                 quant=quant, dtype=jnp.float32)
         assert runner.up_exact
+        assert runner.up_pallas == pallas
         qp = runner.calibrate(runner.qp, x)
+        if pallas:
+            assert "upx_taps_w" in qp
         got = runner.apply(qp, x)
         u8 = runner.apply_u8(qp, x)
     finally:
@@ -285,3 +293,17 @@ def test_fast_orig_runner_exact_phase_up(quant, factor, monkeypatch):
 
     np.testing.assert_array_equal(np.asarray(u8),
                                   np.asarray(unit_to_uint8(got)))
+    if pallas and quant == "tail8":
+        # bit-exactness vs the XLA exact form (same quantized weights)
+        monkeypatch.setenv("VCGU_PHASE_UP", "0")
+        pnorms.INTERPRET = True
+        try:
+            r2 = FastOrigRunner(variables["params"], res_block_num=2,
+                                upscale_factor=factor, tile_hw=(12, 16),
+                                quant=quant, dtype=jnp.float32)
+            qp2 = r2.calibrate(r2.qp, x)
+            got2 = r2.apply(qp2, x)
+        finally:
+            pnorms.INTERPRET = False
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(got2, np.float32))

@@ -43,6 +43,7 @@ from video_cycle_gan_upscaling_tpu.ops import head_conv
 from video_cycle_gan_upscaling_tpu.ops.pallas import fused_conv as fc
 from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
 from video_cycle_gan_upscaling_tpu.ops.pallas import pair_conv
+from video_cycle_gan_upscaling_tpu.ops.pallas import phase_up
 from video_cycle_gan_upscaling_tpu.ops.pallas import up_conv as upc
 from video_cycle_gan_upscaling_tpu.ops.quant import QSCALE
 
@@ -271,6 +272,17 @@ class FastOrigRunner:
                     phases.append((blk[a0:y1_, b0:x1_], pads))
                 self._tail_masters["up_phases"] = phases
                 self.up_phase_pads = [p for _, p in phases]
+                # static tap metadata for the one-pass Pallas form
+                # (ops/pallas/phase_up.py): (phase, oy, ox) per true tap
+                self.up_tap_meta = []
+                for ph, (blk_w, pads) in enumerate(phases):
+                    (pyl, _), (pxl, _) = pads
+                    for dy in range(blk_w.shape[0]):
+                        for dx in range(blk_w.shape[1]):
+                            self.up_tap_meta.append(
+                                (ph, dy - pyl, dx - pxl))
+                self.up_pallas = _os.environ.get(
+                    "VCGU_PHASE_UP", "0") == "1"
                 if not self.head_quant:
                     # hybrid exact: per-phase lane slices of the bf16
                     # head kernel (the quant-head slices are built from
@@ -415,12 +427,15 @@ class FastOrigRunner:
                 preferred_element_type=jnp.int32
             ).astype(jnp.float32) * qp["up0_w_ws"]
             err0 = jnp.mean(acc0_q - acc0_f, axis=(0, 1, 2))
-            # the runtime stage-0 kernel emits bf16 (pair_conv_fused) and
-            # the canonical transpose runs in bf16 — mirror that rounding
-            # on the quantized side so the measured bias matches runtime
-            y_q = self._up0_to_canonical(
-                vops.leaky_relu(acc0_q + b0_8 - err0, 0.2)
-                .astype(jnp.bfloat16)).astype(jnp.float32)
+            # mirror the runtime stage-0 emit rounding on the quantized
+            # side: the pair and hybrid stage-1 paths emit bf16 and
+            # transpose in bf16; the exact+head_quant (tail8) path
+            # re-quantizes in f32 inside the kernel (no bf16
+            # intermediate)
+            z0 = vops.leaky_relu(acc0_q + b0_8 - err0, 0.2)
+            if not (self.up_exact and self.head_quant):
+                z0 = z0.astype(jnp.bfloat16)
+            y_q = self._up0_to_canonical(z0).astype(jnp.float32)
             y_f = self._up0_to_canonical(
                 vops.leaky_relu(acc0_f + b0_8, 0.2))
             s_in = qp["tail_sm"]
@@ -560,6 +575,19 @@ class FastOrigRunner:
                 qp[f"upx{ph}_w_q"], qp[f"upx{ph}_ws"] = q_oc(
                     w_ph, np.asarray(s_in, np.float32), 2)
             qp["upx_b_c"] = jnp.tile(qp["up_b_0"], 4).astype(jnp.float32)
+            if self.up_pallas:
+                # tap-list weights for the one-pass Pallas form: one
+                # [C,C'] int8 matrix per true tap, order = up_tap_meta
+                mats = []
+                for ph, (w_ph, _) in enumerate(
+                        self._tail_masters["up_phases"]):
+                    wq = np.asarray(qp[f"upx{ph}_w_q"])
+                    for dy in range(w_ph.shape[0]):
+                        for dx in range(w_ph.shape[1]):
+                            mats.append(wq[dy, dx])
+                qp["upx_taps_w"] = jnp.asarray(np.stack(mats))
+                qp["upx_ws4"] = jnp.stack(
+                    [qp[f"upx{ph}_ws"] for ph in range(4)])
         elif self.up_fused and self.head_quant:
             # unpacked [3, KW*C, 4C'] matrix: contraction lanes (dx, c)
             kw = self._tail_masters["up_unpacked"].shape[1] // self.filters
@@ -774,20 +802,32 @@ class FastOrigRunner:
         homogeneous LeakyReLU into the elementwise dequant — so
         channel-wise quantization costs no extra runtime ops."""
         s0, s1 = qp["tail_s0"], qp["tail_s1"]  # [C], [4*C_up]
+        q0_ready = False
         if self.times == 2:
             # x4 chain stage 0: one fused Pallas pass (per-lane requant +
-            # W8A8 pair conv + dequant + bias + LeakyReLU, bf16 out —
+            # W8A8 pair conv + dequant + bias + LeakyReLU —
             # ops/pallas/pair_conv.py), unfold to the canonical 2x
-            # stream (bf16: halves the transpose's HBM); the mid-stream
-            # re-quantizes with its own calibrated per-channel scales
-            # (tail_sm) inside the stage-1 kernel below.
+            # stream. On the exact-phase stage-1 path the kernel ALSO
+            # re-quantizes with the mid-stream scales (tail_sm) before
+            # emitting, so the canonical transpose moves int8 (half the
+            # HBM) and stage 1's separate requant pass disappears.
+            # Measured (scripts/exact_up_ab.py): tail8 17.44 -> 16.15
+            # ms/f, but the SAME int8 emit collapsed the hybrid graph
+            # 20.18 -> 58.69 (XLA's int8 transpose layout goes
+            # pathological there), so it keys on head_quant; the pair
+            # and hybrid paths keep the bf16 emit they were calibrated
+            # against.
             n0, h0_, w0_, c0_ = y.shape
+            mid_scales = (jnp.tile(qp["tail_sm"], 8)
+                          if self.up_exact and self.head_quant else None)
             y0 = pair_conv.pair_conv_fused(
                 y.reshape(n0, h0_, w0_ // 2, 2 * c0_), qp["up0_w_q"],
                 pads=self.up0_pads, w_scales=qp["up0_w_ws"],
-                bias=qp["up0_b_c"], in_scales=jnp.tile(s0, 2))
+                bias=qp["up0_b_c"], in_scales=jnp.tile(s0, 2),
+                out_scales=mid_scales)
             y = self._up0_to_canonical(y0)
             s0 = qp["tail_sm"]
+            q0_ready = mid_scales is not None
         if self.up_exact:
             # exact-phase stage 1 (VCGU_EXACT_UP=1): one conv per output
             # phase at its true tap support — 25C taps/HR-pixel vs the
@@ -796,26 +836,41 @@ class FastOrigRunner:
             # of the head kernel and the int32/f32 accs sum — the
             # concatenated HR stream NEVER materializes (concat form
             # OOM'd HBM at the x4 hybrid flagship: +4 GB peak).
-            q0 = jnp.clip(jnp.round(y.astype(jnp.float32) * s0), -127, 127
-                          ).astype(jnp.int8)
+            q0 = y if q0_ready else jnp.clip(
+                jnp.round(y.astype(jnp.float32) * s0), -127, 127
+            ).astype(jnp.int8)
             c_up4 = qp["upx_b_c"].shape[0]
             cq = c_up4 // 4
+            parts = None
+            if "upx_taps_w" in qp:
+                # one-pass Pallas form (VCGU_PHASE_UP=1): all four
+                # phases computed per row-block, input crosses HBM once
+                parts = phase_up.phase_up_fused(
+                    q0, qp["upx_taps_w"], self.up_tap_meta,
+                    qp["upx_ws4"], qp["upx_b_c"].reshape(4, cq),
+                    s1.reshape(4, cq) if self.head_quant else None,
+                    out_dtype=self.dtype)
             acc_h = None
             for ph in range(4):
-                acc = lax.conv_general_dilated(
-                    q0, qp[f"upx{ph}_w_q"], (1, 1), self.up_phase_pads[ph],
-                    dimension_numbers=sp.CONV_DIMS,
-                    preferred_element_type=jnp.int32)
-                z = (acc.astype(jnp.float32) * qp[f"upx{ph}_ws"]
-                     + qp["upx_b_c"][ph * cq:(ph + 1) * cq])
-                z = vops.leaky_relu(z, 0.2)
-                if self.head_quant:
-                    z = jnp.clip(jnp.round(z * s1[ph * cq:(ph + 1) * cq]),
-                                 -127, 127).astype(jnp.int8)
-                    w_ph = qp[f"final_w_q_ph{ph}"]
+                if parts is not None:
+                    z = parts[ph]
                 else:
-                    z = z.astype(self.dtype)
-                    w_ph = qp[f"head_w_x_ph{ph}"]
+                    acc = lax.conv_general_dilated(
+                        q0, qp[f"upx{ph}_w_q"], (1, 1),
+                        self.up_phase_pads[ph],
+                        dimension_numbers=sp.CONV_DIMS,
+                        preferred_element_type=jnp.int32)
+                    z = (acc.astype(jnp.float32) * qp[f"upx{ph}_ws"]
+                         + qp["upx_b_c"][ph * cq:(ph + 1) * cq])
+                    z = vops.leaky_relu(z, 0.2)
+                    if self.head_quant:
+                        z = jnp.clip(
+                            jnp.round(z * s1[ph * cq:(ph + 1) * cq]),
+                            -127, 127).astype(jnp.int8)
+                    else:
+                        z = z.astype(self.dtype)
+                w_ph = (qp[f"final_w_q_ph{ph}"] if self.head_quant
+                        else qp[f"head_w_x_ph{ph}"])
                 n, h, w_, cs = z.shape
                 zp = z.reshape(n, h, w_ // 2, 2 * cs)  # free W-pair pack
                 a = head_conv.head_conv_s48_acc(zp, w_ph, self.final_px_q)
