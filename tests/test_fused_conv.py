@@ -238,6 +238,11 @@ def test_fast_orig_runner_int8_tail(quant, factor):
         assert runner.quant == (quant is True)
         qp = runner.calibrate(runner.qp, x)
         assert runner.tail_calibrated
+        if quant in (True, "tail8"):
+            # asymmetric head-input quantizer active by default
+            assert runner.head_zp
+            assert "tail_zp1" in qp and "final_b_map" in qp
+            assert qp["final_b_map"].ndim == 4
         got = runner.apply(qp, x)
     finally:
         pnorms.INTERPRET = False
@@ -247,6 +252,44 @@ def test_fast_orig_runner_int8_tail(quant, factor):
     psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
     assert psnr > (40.0 if quant == "tail" else
                    35.0 if quant == "tail8" else 30.0), (quant, psnr)
+
+
+def test_head_zp_bias_map_interior_and_corner_oracle():
+    """The zero-point bias map's interior equals bias + ws * (full-tap
+    sum of w_q)·zp — computable WITHOUT any conv — and its corner entry
+    equals the partial (in-bounds-taps-only) sum: validates the
+    correction conv's pads/stride/lane-tiling against an independent
+    numpy oracle."""
+    from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
+    from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
+
+    model = UpscalerOrig(kernel_size=5, filters=8, upscale_factor=2,
+                         res_block_num=2, dtype=jnp.float32, phase_tail=True)
+    x = _mk(jax.random.PRNGKey(8), (1, 12, 16, 3), 0.5)
+    variables = model.init(jax.random.PRNGKey(9), x)
+    pnorms.INTERPRET = True
+    try:
+        runner = FastOrigRunner(variables["params"], res_block_num=2,
+                                upscale_factor=2, tile_hw=(12, 16),
+                                quant="tail8", dtype=jnp.float32)
+        assert runner.head_zp
+        qp = runner.calibrate(runner.qp, x)
+    finally:
+        pnorms.INTERPRET = False
+    zp_t = np.tile(np.asarray(qp["tail_zp1"], np.float64), 2)   # [8C]
+    wq = np.asarray(qp["final_w_q"], np.float64)                # [6,4,8C,96]
+    ws = np.asarray(qp["final_w_ws"], np.float64)
+    bias = np.asarray(qp["final_b_c"], np.float64)
+    m = np.asarray(qp["final_b_map"], np.float64)[0]
+    full = (wq * zp_t[None, None, :, None]).sum((0, 1, 2))
+    np.testing.assert_allclose(m[2, 2], bias + ws * full,
+                               rtol=1e-5, atol=1e-4)
+    # corner (0,0): head pads ((2,3), px) stride (2,2) -> only taps
+    # ky>=2, kx>=px_l are in-bounds
+    px_l = runner.final_px_q[0]
+    part = (wq[2:, px_l:] * zp_t[None, None, :, None]).sum((0, 1, 2))
+    np.testing.assert_allclose(m[0, 0], bias + ws * part,
+                               rtol=1e-5, atol=1e-4)
 
 
 @pytest.mark.parametrize("factor", [2, 4])
@@ -272,6 +315,10 @@ def test_fast_orig_runner_exact_phase_up(quant, factor, pallas,
     try:
         monkeypatch.setenv("VCGU_EXACT_UP", "1")
         monkeypatch.setenv("VCGU_PHASE_UP", "1" if pallas else "0")
+        # the phase_up Pallas form has no zero-point emit; disable the
+        # asymmetric head quantizer so the XLA/pallas comparison (and
+        # the cross-runner bit-exactness below) stay on identical math
+        monkeypatch.setenv("VCGU_HEAD_ZP", "0")
         runner = FastOrigRunner(variables["params"], res_block_num=2,
                                 upscale_factor=factor, tile_hw=(12, 16),
                                 quant=quant, dtype=jnp.float32)
@@ -307,3 +354,60 @@ def test_fast_orig_runner_exact_phase_up(quant, factor, pallas,
             pnorms.INTERPRET = False
         np.testing.assert_array_equal(np.asarray(got, np.float32),
                                       np.asarray(got2, np.float32))
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+@pytest.mark.parametrize("quant", ["tail", "tail8"])
+def test_fast_orig_runner_grouped_stage1_bitexact(quant, factor,
+                                                  monkeypatch):
+    """VCGU_GROUP_UP=1: stage-1 as TWO row-support-grouped union-window
+    convs must match the four-conv exact-phase form BIT-exactly — the
+    grouped int8 kernels are built from the same quantized per-phase
+    kernels (structural zero padding changes no abs-max, hence no
+    scale), and integer conv accumulation is exact. The hybrid ("tail")
+    head runs f32 — its conv accumulates lanes in a different order, so
+    it gets a tight float tolerance instead."""
+    from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
+    from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
+
+    model = UpscalerOrig(kernel_size=5, filters=8, upscale_factor=factor,
+                         res_block_num=2, dtype=jnp.float32, phase_tail=True)
+    x = _mk(jax.random.PRNGKey(8), (1, 12, 16, 3), 0.5)
+    variables = model.init(jax.random.PRNGKey(9), x)
+
+    outs = {}
+    for grouped in (False, True):
+        pnorms.INTERPRET = True
+        try:
+            monkeypatch.setenv("VCGU_EXACT_UP", "1")
+            monkeypatch.setenv("VCGU_GROUP_UP", "1" if grouped else "0")
+            runner = FastOrigRunner(variables["params"], res_block_num=2,
+                                    upscale_factor=factor, tile_hw=(12, 16),
+                                    quant=quant, dtype=jnp.float32)
+            assert runner.up_exact
+            assert (runner.up_groups is not None) == grouped
+            qp = runner.calibrate(runner.qp, x)
+            if grouped:
+                assert "upg0_w_q" in qp and "upg1_w_q" in qp
+                # union windows: 25 true taps inside 30 padded slots
+                true_taps = sum(
+                    int(np.sum(np.any(np.asarray(qp[f"upx{p}_w_q"]) != 0,
+                                      axis=(2, 3))))
+                    for p in range(4))
+                slots = sum(g["uy"] * g["ux"] * 2
+                            for g in runner.up_groups)
+                assert true_taps <= 25 and slots == 30
+            outs[grouped] = (runner.apply(qp, x), runner.apply_u8(qp, x))
+        finally:
+            pnorms.INTERPRET = False
+    a = np.asarray(outs[True][0], np.float32)
+    b = np.asarray(outs[False][0], np.float32)
+    if quant == "tail8":  # integer accumulation: exact
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(np.asarray(outs[True][1]),
+                                      np.asarray(outs[False][1]))
+    else:  # f32 head: lane-summation order differs inside the conv
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+        assert np.mean(np.abs(np.asarray(outs[True][1], np.int32)
+                              - np.asarray(outs[False][1], np.int32))
+                       ) < 1e-3  # u8 rounding flips only at ties

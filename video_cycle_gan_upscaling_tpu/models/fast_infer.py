@@ -29,6 +29,7 @@ Reference semantics: make_upscaler_orig
 from __future__ import annotations
 
 import math
+import os as _os
 
 import numpy as np
 from typing import Any, Dict, Optional, Tuple
@@ -192,6 +193,7 @@ class FastOrigRunner:
         self.up_plans = []
         self.up_fused = False
         self.up_exact = False
+        self.up_groups = None
         self._tail_masters: Dict[str, Any] = {}
         if self.xpack_ready:
             if self.times == 2:
@@ -283,6 +285,48 @@ class FastOrigRunner:
                                 (ph, dy - pyl, dx - pxl))
                 self.up_pallas = _os.environ.get(
                     "VCGU_PHASE_UP", "0") == "1"
+                # grouped stage-1: per-phase convs sharing a ROW support
+                # pair into ONE conv over the union column window (member
+                # kernels at their column offsets, structural zeros
+                # elsewhere): 30C taps/HR-pixel padded vs exact's 25C
+                # (1.2x, still far under the pair form's 48C) but HALF
+                # the conv dispatches, epilogues, int8 emits, and head
+                # acc convs. Output lanes member-major [.., 2cq]; the
+                # head consumes each group through
+                # head_conv.head_group_lane_slice, and the grouped int8
+                # kernels are sliced from the quantized per-phase ones
+                # (_refold_tail), so output is BIT-IDENTICAL to the
+                # exact-phase form. VCGU_GROUP_UP=1/0 overrides (default
+                # pending the TPU A/B — docs/PERF.md round 3).
+                by_rows: Dict[Any, list] = {}
+                for ph, (blk, pads) in enumerate(phases):
+                    by_rows.setdefault((blk.shape[0], pads[0]),
+                                       []).append(ph)
+                grps = sorted(tuple(v) for v in by_rows.values())
+                if (_os.environ.get("VCGU_GROUP_UP", "0") == "1"
+                        and not self.up_pallas and len(grps) == 2
+                        and all(len(g) == 2 for g in grps)):
+                    self.up_groups = []
+                    for pa, pb in grps:
+                        (blka, pdsa), (blkb, pdsb) = phases[pa], phases[pb]
+                        b0a = int(q_x) - pdsa[1][0]
+                        b0b = int(q_x) - pdsb[1][0]
+                        b0u = min(b0a, b0b)
+                        x1u = max(b0a + blka.shape[1],
+                                  b0b + blkb.shape[1])
+                        self.up_groups.append(dict(
+                            phases=(pa, pb),
+                            pads=(pdsa[0], (int(q_x) - b0u,
+                                            x1u - 1 - int(q_x))),
+                            uy=blka.shape[0], ux=x1u - b0u,
+                            offs=(b0a - b0u, b0b - b0u)))
+                    if not self.head_quant:
+                        for g, gr in enumerate(self.up_groups):
+                            idx = head_conv.head_group_lane_slice(
+                                c_up, *gr["phases"])
+                            qp[f"head_w_x_g{g}"] = jnp.asarray(
+                                np.asarray(wd, np.float32)[:, :, idx, :],
+                                dtype)
                 if not self.head_quant:
                     # hybrid exact: per-phase lane slices of the bf16
                     # head kernel (the quant-head slices are built from
@@ -330,6 +374,20 @@ class FastOrigRunner:
         # on a real frame; until calibrated the tail runs the bf16 x-pack.
         self.tail_quant_ready = False
         self.tail_calibrated = False
+        # Asymmetric head-input quantization (tail8/full-int8 tails):
+        # the stage-1 stream is post-LeakyReLU, so its per-channel range
+        # is skewed (~[-0.2m, m]); a per-channel integer zero point
+        # recovers the wasted half of the int8 range (~1.67x finer
+        # steps, ~+4 dB on the head-input requant — the stage carrying
+        # ~65% of the all-int8 tail MSE, scripts/quant_decomp.py). The
+        # emit subtracts zp; the head conv is corrected EXACTLY
+        # (borders included) by a precomputed bias MAP (see
+        # _head_zp_bias_map). Off for the env-gated up_fused/phase_up
+        # experiment paths (their emits are symmetric-only).
+        self.head_zp = (self.head_quant and self.tail_quant
+                        and self.xpack_ready and not self.up_fused
+                        and not getattr(self, "up_pallas", False)
+                        and _os.environ.get("VCGU_HEAD_ZP", "1") != "0")
         if self.tail_quant and self.xpack_ready:
             # NOTE: tail_s0/tail_s1 (and up_w_q/final_w_q) appear only
             # via calibrate() — tail selection keys on the qp pytree
@@ -399,8 +457,38 @@ class FastOrigRunner:
                 qp["up_b_c"] = qp["up_b_c"] - err1
             if self.head_quant:
                 qp["final_b_c"] = qp["final_b_c"] - err2
+        if self.head_zp and "tail_zp1" in qp:
+            # exact (border-aware) zero-point correction for the head
+            # conv, folded with the (bias-corrected) head bias into one
+            # map — built AFTER the err2 subtraction above
+            qp["final_b_map"] = jax.jit(
+                self._head_zp_bias_map, static_argnums=(1, 2))(
+                    qp, x.shape[1], x.shape[2])
         self.tail_calibrated = True
         return qp
+
+    def _head_zp_bias_map(self, qp, th: int, tw: int):
+        """Head-conv zero-point correction, exact at borders.
+
+        The head consumes q1 = round(y*s1) - zp1 per input lane; the
+        symmetric-equivalent accumulator is acc + conv(zp_map, w_q),
+        where the conv's zero padding automatically restricts the
+        correction to in-bounds taps (out-of-bounds means y=0
+        contributes nothing, matching the f32 head's SAME padding).
+        zp1 is integer and |zp1| is capped, so the int32 conv is exact.
+        Returns bias_map [1,Ho,Wo,96] = corr*ws + final_b_c, consumed in
+        place of the [96] bias vector. Shape-coupled to the calibration
+        frame's geometry (== the runner's tile_hw by contract)."""
+        mh = th * (2 if self.times == 2 else 1)
+        mw = tw * (2 if self.times == 2 else 1)
+        c8 = qp["final_w_q"].shape[2]
+        zp_map = jnp.broadcast_to(
+            jnp.tile(qp["tail_zp1"], 2).astype(jnp.int32),
+            (1, mh, mw // 2, c8))
+        corr = head_conv.head_conv_s48_acc(
+            zp_map, qp["final_w_q"].astype(jnp.int32), self.final_px_q)
+        return (corr.astype(jnp.float32) * qp["final_w_ws"]
+                + qp["final_b_c"])
 
     def _tail_bias_err(self, qp, x, w_up_f, w_head_f, *w_phases):
         """Mean pre-activation error of the calibrated int8 tail vs the
@@ -467,8 +555,10 @@ class FastOrigRunner:
             b4 = jnp.tile(qp["up_b_0"], 4).astype(jnp.float32)
             y1_q = vops.leaky_relu(acc_q + b4 - err1, 0.2)
             y1_f = vops.leaky_relu(acc_f + b4, 0.2)
-            q1 = jnp.clip(jnp.round(y1_q * s1), -127, 127
-                          ).astype(jnp.int8)
+            zq1 = y1_q * s1
+            if "tail_zp1" in qp:  # mirror the asymmetric runtime emit
+                zq1 = zq1 - qp["tail_zp1"]
+            q1 = jnp.clip(jnp.round(zq1), -127, 127).astype(jnp.int8)
             q1 = q1.reshape(nn_, hh_, ww_ // 2, 8 * cq)
             y1_f = y1_f.reshape(nn_, hh_, ww_ // 2, 8 * cq)
         else:
@@ -489,12 +579,24 @@ class FastOrigRunner:
                     (32 * qp["final_b"].shape[0],), jnp.float32)
             y1_q = vops.leaky_relu(acc_q + b8 - err1, 0.2)
             y1_f = vops.leaky_relu(acc_f + b8, 0.2)
-            q1 = jnp.clip(jnp.round(y1_q * jnp.tile(s1, 2)), -127, 127
-                          ).astype(jnp.int8)
+            zq1 = y1_q * jnp.tile(s1, 2)
+            if "tail_zp1" in qp:  # mirror the asymmetric runtime emit
+                zq1 = zq1 - jnp.tile(qp["tail_zp1"], 2)
+            q1 = jnp.clip(jnp.round(zq1), -127, 127).astype(jnp.int8)
         zeros96 = jnp.zeros((32 * qp["final_b"].shape[0],), jnp.float32)
         hd_q = head_conv.head_conv_s48_pre(q1, qp["final_w_q"],
                                            qp["final_w_ws"], zeros96,
                                            self.final_px_q)
+        if "tail_zp1" in qp:
+            # the runtime head adds the zp correction map — include it
+            # here so err2 measures only residual quantizer bias
+            zp_map = jnp.broadcast_to(
+                jnp.tile(qp["tail_zp1"], 2).astype(jnp.int32),
+                (1,) + q1.shape[1:])
+            corr = head_conv.head_conv_s48_acc(
+                zp_map, qp["final_w_q"].astype(jnp.int32),
+                self.final_px_q)
+            hd_q = hd_q + corr.astype(jnp.float32) * qp["final_w_ws"]
         hd_f = head_conv.head_conv_s48_pre(y1_f.astype(jnp.float32),
                                            w_head_f, None, zeros96,
                                            self.final_px_q)
@@ -531,12 +633,19 @@ class FastOrigRunner:
         a1 = jnp.max(jnp.abs(y1), axis=(0, 1, 2))        # [2*4*C_up]
         cs = a1.shape[0] // 2
         amax1 = jnp.maximum(jnp.maximum(a1[:cs], a1[cs:]), 1e-6)
+        # signed per-channel range of the post-LeakyReLU stream (pair
+        # slots folded) — the asymmetric head-input quantizer's
+        # observable (head_zp)
+        lo = jnp.min(y1, axis=(0, 1, 2))
+        hi = jnp.max(y1, axis=(0, 1, 2))
+        lohi1 = jnp.stack([jnp.minimum(lo[:cs], lo[cs:]),
+                           jnp.maximum(hi[:cs], hi[cs:])])
         if amax_mid is None:
-            return amax0, amax1
-        return amax0, amax1, amax_mid
+            return amax0, amax1, lohi1
+        return amax0, amax1, lohi1, amax_mid
 
     def _refold_tail(self, qp: Dict[str, Any], amax0, amax1,
-                     amax_mid=None):
+                     lohi1=None, amax_mid=None):
         """Per-CHANNEL activation scales folded into the f32 tail-weight
         masters' input axes (host numpy), then per-out-channel int8
         re-quantization — channel-calibrated quantization costs zero
@@ -544,7 +653,29 @@ class FastOrigRunner:
         multiply). Round-2's per-TENSOR scales measured 42.1 dB (tail
         only) on the real demo frame; the channel fold reaches ~46 dB."""
         s0 = 127.0 / np.maximum(np.asarray(amax0, np.float32), 1e-6)
-        s1 = 127.0 / np.maximum(np.asarray(amax1, np.float32), 1e-6)
+        zp1 = None
+        if self.head_zp and lohi1 is not None:
+            # asymmetric head-input quantizer: q = round(y*s1 - zp1),
+            # zp1 integer. The asymmetric gain is capped at 8x the
+            # symmetric scale (dead/near-constant channels would
+            # otherwise blow zp up); |zp1| <= ~1020 keeps the int32
+            # correction conv (_head_zp_bias_map) overflow-free.
+            lo = np.asarray(lohi1[0], np.float32)
+            hi = np.asarray(lohi1[1], np.float32)
+            absmax = np.maximum(np.maximum(np.abs(lo), np.abs(hi)), 1e-6)
+            span = np.maximum(hi - lo, 1e-6)
+            s1 = np.minimum(254.0 / span, 8.0 * 127.0 / absmax)
+            zp1 = np.rint((hi + lo) * 0.5 * s1).astype(np.float32)
+            # int32 safety of the correction conv: |corr| <= taps(24) *
+            # lanes(2*len) * 127 * |zp|; channels past the cap fall
+            # back to symmetric (pathological near-constant channels)
+            zp_cap = 0.9 * 2.0 ** 31 / (24.0 * 2 * len(span) * 127.0)
+            bad = np.abs(zp1) > zp_cap
+            if bad.any():
+                s1 = np.where(bad, 127.0 / absmax, s1)
+                zp1 = np.where(bad, 0.0, zp1).astype(np.float32)
+        else:
+            s1 = 127.0 / np.maximum(np.asarray(amax1, np.float32), 1e-6)
 
         def q_oc(w, in_scales, in_axis):
             sh = [1] * w.ndim
@@ -575,6 +706,24 @@ class FastOrigRunner:
                 qp[f"upx{ph}_w_q"], qp[f"upx{ph}_ws"] = q_oc(
                     w_ph, np.asarray(s_in, np.float32), 2)
             qp["upx_b_c"] = jnp.tile(qp["up_b_0"], 4).astype(jnp.float32)
+            if self.up_groups:
+                # grouped kernels are BUILT FROM the quantized per-phase
+                # kernels (identical per-out-channel scales — structural
+                # zero padding cannot change an abs-max), so the grouped
+                # form's output is bit-identical to the exact-phase form
+                for g, gr in enumerate(self.up_groups):
+                    pa, pb = gr["phases"]
+                    wa = np.asarray(qp[f"upx{pa}_w_q"])
+                    wb = np.asarray(qp[f"upx{pb}_w_q"])
+                    cqg = wa.shape[-1]
+                    wg = np.zeros((gr["uy"], gr["ux"], wa.shape[2],
+                                   2 * cqg), np.int8)
+                    oa, ob = gr["offs"]
+                    wg[:, oa:oa + wa.shape[1], :, :cqg] = wa
+                    wg[:, ob:ob + wb.shape[1], :, cqg:] = wb
+                    qp[f"upg{g}_w_q"] = jnp.asarray(wg)
+                    qp[f"upg{g}_ws"] = jnp.concatenate(
+                        [qp[f"upx{pa}_ws"], qp[f"upx{pb}_ws"]])
             if self.up_pallas:
                 # tap-list weights for the one-pass Pallas form: one
                 # [C,C'] int8 matrix per true tap, order = up_tap_meta
@@ -608,8 +757,16 @@ class FastOrigRunner:
                     idx = head_conv.head_lane_slice(c_up, ph)
                     qp[f"final_w_q_ph{ph}"] = jnp.asarray(
                         wq_np[:, :, idx, :])
+                if self.up_groups:
+                    for g, gr in enumerate(self.up_groups):
+                        idx = head_conv.head_group_lane_slice(
+                            c_up, *gr["phases"])
+                        qp[f"final_w_q_g{g}"] = jnp.asarray(
+                            wq_np[:, :, idx, :])
         qp["tail_s0"] = jnp.asarray(s0)
         qp["tail_s1"] = jnp.asarray(s1)
+        if zp1 is not None:
+            qp["tail_zp1"] = jnp.asarray(zp1)
         # stage biases as full vectors (calibrate() then subtracts the
         # measured per-channel quantization bias from these)
         r_up = 4 if (self.up_fused and self.head_quant) else 8
@@ -850,25 +1007,94 @@ class FastOrigRunner:
                     qp["upx_ws4"], qp["upx_b_c"].reshape(4, cq),
                     s1.reshape(4, cq) if self.head_quant else None,
                     out_dtype=self.dtype)
+            if (self.up_groups and parts is None
+                    and _os.environ.get("VCGU_PAIR_PHASE", "0") != "1"):
+                # grouped stage-1 (VCGU_GROUP_UP=1): two union-window
+                # convs instead of four per-phase ones — bit-identical
+                # output (the grouped kernels are slices of the same
+                # quantized per-phase kernels, __init__/_refold_tail)
+
+                def _sl(v, pa, pb):
+                    return jnp.concatenate(
+                        [v[pa * cq:(pa + 1) * cq],
+                         v[pb * cq:(pb + 1) * cq]])
+
+                acc_h = None
+                for g, gr in enumerate(self.up_groups):
+                    pa, pb = gr["phases"]
+                    acc = lax.conv_general_dilated(
+                        q0, qp[f"upg{g}_w_q"], (1, 1), gr["pads"],
+                        dimension_numbers=sp.CONV_DIMS,
+                        preferred_element_type=jnp.int32)
+                    z = (acc.astype(jnp.float32) * qp[f"upg{g}_ws"]
+                         + _sl(qp["upx_b_c"], pa, pb))
+                    z = vops.leaky_relu(z, 0.2)
+                    if self.head_quant:
+                        zq = z * _sl(s1, pa, pb)
+                        if "tail_zp1" in qp:  # asymmetric emit
+                            zq = zq - _sl(qp["tail_zp1"], pa, pb)
+                        z = jnp.clip(jnp.round(zq), -127, 127
+                                     ).astype(jnp.int8)
+                    else:
+                        z = z.astype(self.dtype)
+                    w_g = (qp[f"final_w_q_g{g}"] if self.head_quant
+                           else qp[f"head_w_x_g{g}"])
+                    n, h, w_, cs = z.shape
+                    zpk = z.reshape(n, h, w_ // 2, 2 * cs)
+                    a = head_conv.head_conv_s48_acc(zpk, w_g,
+                                                    self.final_px_q)
+                    acc_h = a if acc_h is None else acc_h + a
+                yp = acc_h.astype(jnp.float32)
+                if self.head_quant:
+                    yp = yp * qp["final_w_ws"]
+                yp = head_conv.head_epilogue(
+                    yp + qp.get("final_b_map", qp["final_b_c"]), emit_u8)
+                return sp.depth_to_space_axes(yp, 4, 8)
             acc_h = None
             for ph in range(4):
                 if parts is not None:
                     z = parts[ph]
                 else:
-                    acc = lax.conv_general_dilated(
-                        q0, qp[f"upx{ph}_w_q"], (1, 1),
-                        self.up_phase_pads[ph],
-                        dimension_numbers=sp.CONV_DIMS,
-                        preferred_element_type=jnp.int32)
-                    z = (acc.astype(jnp.float32) * qp[f"upx{ph}_ws"]
-                         + qp["upx_b_c"][ph * cq:(ph + 1) * cq])
-                    z = vops.leaky_relu(z, 0.2)
-                    if self.head_quant:
-                        z = jnp.clip(
-                            jnp.round(z * s1[ph * cq:(ph + 1) * cq]),
-                            -127, 127).astype(jnp.int8)
+                    # Per-phase conv + epilogue. The fused Pallas form
+                    # (pair_conv_fused int8-in/int8-out) wins ISOLATED
+                    # (5.35 vs 7.24 ms/f at the x4 flagship) but loses
+                    # in-graph (apply_u8 15.88 -> 20.93 ms/f): the int8
+                    # relayout at the custom-call boundary before the
+                    # head conv eats the win (docs/PERF.md round 3).
+                    # Env-gated VCGU_PAIR_PHASE=1 for experiments; the
+                    # XLA chain (fused epilogue, no relayout) is the
+                    # default.
+                    if _os.environ.get("VCGU_PAIR_PHASE", "0") == "1":
+                        z = pair_conv.pair_conv_fused(
+                            q0, qp[f"upx{ph}_w_q"],
+                            pads=self.up_phase_pads[ph],
+                            w_scales=qp[f"upx{ph}_ws"],
+                            bias=qp["upx_b_c"][ph * cq:(ph + 1) * cq],
+                            out_scales=(s1[ph * cq:(ph + 1) * cq]
+                                        if self.head_quant else None),
+                            out_zp=(qp["tail_zp1"][ph * cq:(ph + 1) * cq]
+                                    if self.head_quant
+                                    and "tail_zp1" in qp else None))
+                        if not self.head_quant:
+                            z = z.astype(self.dtype)
                     else:
-                        z = z.astype(self.dtype)
+                        acc = lax.conv_general_dilated(
+                            q0, qp[f"upx{ph}_w_q"], (1, 1),
+                            self.up_phase_pads[ph],
+                            dimension_numbers=sp.CONV_DIMS,
+                            preferred_element_type=jnp.int32)
+                        z = (acc.astype(jnp.float32) * qp[f"upx{ph}_ws"]
+                             + qp["upx_b_c"][ph * cq:(ph + 1) * cq])
+                        z = vops.leaky_relu(z, 0.2)
+                        if self.head_quant:
+                            zq = z * s1[ph * cq:(ph + 1) * cq]
+                            if "tail_zp1" in qp:  # asymmetric emit
+                                zq = zq - qp["tail_zp1"][
+                                    ph * cq:(ph + 1) * cq]
+                            z = jnp.clip(jnp.round(zq), -127, 127
+                                         ).astype(jnp.int8)
+                        else:
+                            z = z.astype(self.dtype)
                 w_ph = (qp[f"final_w_q_ph{ph}"] if self.head_quant
                         else qp[f"head_w_x_ph{ph}"])
                 n, h, w_, cs = z.shape
@@ -878,7 +1104,8 @@ class FastOrigRunner:
             yp = acc_h.astype(jnp.float32)
             if self.head_quant:
                 yp = yp * qp["final_w_ws"]
-            yp = head_conv.head_epilogue(yp + qp["final_b_c"], emit_u8)
+            yp = head_conv.head_epilogue(
+                yp + qp.get("final_b_map", qp["final_b_c"]), emit_u8)
             return sp.depth_to_space_axes(yp, 4, 8)
         elif self.up_fused and self.head_quant:
             # env-gated experiment: fused Pallas up conv on the UNPACKED
@@ -904,7 +1131,10 @@ class FastOrigRunner:
                 yp_in, qp["up_w_q"], pads=self.up_pads_q,
                 w_scales=qp["up_w_ws"], bias=qp["up_b_c"],
                 in_scales=jnp.tile(s0, 2),
-                out_scales=jnp.tile(s1, 2) if self.head_quant else None)
+                out_scales=jnp.tile(s1, 2) if self.head_quant else None,
+                out_zp=(jnp.tile(qp["tail_zp1"], 2)
+                        if self.head_quant and "tail_zp1" in qp
+                        else None))
             if not self.head_quant:
                 # hybrid (budget) tail: bf16 head on the dequantized
                 # up-conv output — drops the head's input-requant and
@@ -916,7 +1146,8 @@ class FastOrigRunner:
                 return sp.depth_to_space_axes(yp, 4, 8)
             q1 = y1
         yp = head_conv.head_conv_s48(
-            q1, qp["final_w_q"], qp["final_w_ws"], qp["final_b_c"],
+            q1, qp["final_w_q"], qp["final_w_ws"],
+            qp.get("final_b_map", qp["final_b_c"]),
             self.final_px_q, emit_u8=emit_u8)
         return sp.depth_to_space_axes(yp, 4, 8)
 

@@ -91,7 +91,8 @@ def head_conv_s48(q1: jax.Array, wq: jax.Array, ws, bias96: jax.Array,
     (VCGU_HEAD_PALLAS=1) with its oracle tests; docs/PERF.md round 3."""
     import os as _os
 
-    if _os.environ.get("VCGU_HEAD_PALLAS", "0") == "1":
+    if (_os.environ.get("VCGU_HEAD_PALLAS", "0") == "1"
+            and bias96.ndim == 1):  # map bias: zero-point corrected path
         from video_cycle_gan_upscaling_tpu.ops.pallas import head_s48
 
         out = head_s48.head_s48_fused(q1, wq, ws, bias96, px,
@@ -108,11 +109,16 @@ def head_conv_s48(q1: jax.Array, wq: jax.Array, ws, bias96: jax.Array,
 def head_conv_s48_pre(q1: jax.Array, wq: jax.Array, ws, bias96: jax.Array,
                       px: tuple) -> jax.Array:
     """``head_conv_s48`` up to (excluding) the tanh — the pre-activation
-    the calibration bias-correction pass compares against."""
+    the calibration bias-correction pass compares against.
+
+    ``bias96`` is either a [96] vector or a [1,Ho,Wo,96] MAP (the
+    zero-point-corrected head bias built by FastOrigRunner.calibrate:
+    bias + the border-aware zp correction conv)."""
     yp = head_conv_s48_acc(q1, wq, px).astype(jnp.float32)
     if ws is not None:
         yp = yp * ws[None, None, None, :]
-    return yp + bias96[None, None, None, :]
+    return yp + (bias96 if bias96.ndim == 4
+                 else bias96[None, None, None, :])
 
 
 def head_conv_s48_acc(q1: jax.Array, wq: jax.Array, px: tuple) -> jax.Array:
@@ -122,7 +128,8 @@ def head_conv_s48_acc(q1: jax.Array, wq: jax.Array, px: tuple) -> jax.Array:
     conv's output as per-phase PARTS (the exact-phase stage-1 path,
     models/fast_infer.py) run one of these per part on its lane slice of
     the kernel and sum — the concatenated HR stream never materializes."""
-    acc_t = jnp.int32 if q1.dtype == jnp.int8 else jnp.float32
+    acc_t = (jnp.int32 if jnp.issubdtype(q1.dtype, jnp.integer)
+             else jnp.float32)
     return lax.conv_general_dilated(
         q1, wq, (2, 2), ((2, 3), px),
         dimension_numbers=sp.CONV_DIMS,
@@ -147,3 +154,17 @@ def head_lane_slice(c_up: int, ph: int):
 
     o = np.arange(c_up)
     return np.concatenate([cx * 4 * c_up + ph * c_up + o for cx in (0, 1)])
+
+
+def head_group_lane_slice(c_up: int, pa: int, pb: int):
+    """Input-lane indices of the PHASE-PAIR stream (pa, pb) in the
+    x-packed 8C layout: the grouped stage-1 conv emits [.., 2*cq]
+    (member-major) which W-pair-reshapes to lanes u' = cx*2C + j*C + o
+    for member j in (pa, pb); this maps u' -> the full head kernel's
+    u = cx*4C + ph_j*C + o."""
+    import numpy as np
+
+    o = np.arange(c_up)
+    return np.concatenate([
+        np.concatenate([cx * 4 * c_up + ph * c_up + o for ph in (pa, pb)])
+        for cx in (0, 1)])

@@ -55,41 +55,45 @@ from video_cycle_gan_upscaling_tpu.ops.pallas import norms as _norms
 _VMEM_BUDGET = 40 * 1024 * 1024
 
 
-def _pick_th(h: int, w2: int, k2: int, co: int, ny: int, *,
-             quant: bool, out_int8: bool) -> Optional[int]:
+def _pick_th(h: int, w2: int, k2: int, co: int, ny: int, nx: int, *,
+             quant: bool, in_int8: bool, out_int8: bool,
+             py_l: int, py_h: int) -> Optional[int]:
     """Largest divisor of h (even preferred) whose working set fits the
     VMEM budget; None -> caller falls back to XLA."""
-    halo_lo = (ny - 1) // 2
-    halo_hi = ny - 1 - halo_lo
-    in_b = 2  # bf16 input stream
+    in_b = 1 if in_int8 else 2  # int8 or bf16 input stream
     best = None
     for th in range(1, h + 1):
         if h % th:
             continue
-        if (halo_lo and th % halo_lo) or (halo_hi and th % halo_hi):
+        if (py_l and th % py_l) or (py_h and th % py_h):
             continue
         x_in = (th + ny - 1) * w2 * k2 * in_b * 2          # cur+slivers, dbuf
-        xq = (th + ny - 1) * w2 * 2 * k2 * (1 if quant else 2)  # nx-fold window
+        # nx-fold lane window
+        xq = (th + ny - 1) * w2 * nx * k2 * (1 if quant else 2)
         acc = th * w2 * co * 4
         y_out = th * w2 * co * (1 if out_int8 else 2) * 2  # dbuf
-        w_buf = ny * 2 * k2 * co * (1 if quant else 2)
+        w_buf = ny * nx * k2 * co * (1 if quant else 2)
         total = x_in + xq + acc + y_out + w_buf + 4 * co * 4
         if total <= _VMEM_BUDGET:
             best = th
     return best
 
 
-def _kernel(*refs, th: int, ny: int, nx: int, px_l: int, quant: bool,
-            out_int8: bool, slope: float):
-    """Grid (N, H//TH). refs: x_top, x_cur, x_bot, [qs,] w, ws, b,
+def _kernel(*refs, th: int, ny: int, nx: int, px_l: int, py_l: int,
+            py_h: int, quant: bool, in_int8: bool, out_int8: bool,
+            has_zp: bool, slope: float):
+    """Grid (N, H//TH). refs: [x_top,] x_cur, [x_bot,] [qs,] w, ws, b,
     [out_qs,] y_out."""
     it = iter(refs)
-    x_top, x_cur, x_bot = next(it), next(it), next(it)
-    qs_ref = next(it) if quant else None
+    x_top = next(it) if py_l else None
+    x_cur = next(it)
+    x_bot = next(it) if py_h else None
+    qs_ref = next(it) if (quant and not in_int8) else None
     w_ref = next(it)
     ws_ref = next(it)
     b_ref = next(it)
     oqs_ref = next(it) if out_int8 else None
+    ozp_ref = next(it) if (out_int8 and has_zp) else None
     y_ref = next(it)
 
     i = pl.program_id(1)
@@ -97,7 +101,9 @@ def _kernel(*refs, th: int, ny: int, nx: int, px_l: int, quant: bool,
     w2 = y_ref.shape[2]
     k2 = x_cur.shape[3]
 
-    if quant:
+    if in_int8:
+        cast = lambda z: z.astype(jnp.int8)  # pre-quantized stream
+    elif quant:
         q = qs_ref[0, :].astype(jnp.float32)
 
         def cast(z):
@@ -106,10 +112,15 @@ def _kernel(*refs, th: int, ny: int, nx: int, px_l: int, quant: bool,
     else:
         cast = lambda z: z.astype(jnp.bfloat16)
 
-    z_top = jnp.where(i > 0, x_top[0].astype(jnp.float32), 0.0)
-    z_bot = jnp.where(i < n_i - 1, x_bot[0].astype(jnp.float32), 0.0)
-    zw = jnp.concatenate(
-        [cast(z_top), cast(x_cur[0]), cast(z_bot)], axis=0)
+    pieces = []
+    if py_l:
+        z_top = jnp.where(i > 0, x_top[0].astype(jnp.float32), 0.0)
+        pieces.append(cast(z_top))
+    pieces.append(cast(x_cur[0]))
+    if py_h:
+        z_bot = jnp.where(i < n_i - 1, x_bot[0].astype(jnp.float32), 0.0)
+        pieces.append(cast(z_bot))
+    zw = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
 
     # nx-fold lane window (zero at W borders), dx-major lane order to
     # match the [ny, nx*2C, CO] kernel reshape
@@ -142,7 +153,10 @@ def _kernel(*refs, th: int, ny: int, nx: int, px_l: int, quant: bool,
     y = acc.astype(jnp.float32) * ws_ref[0, :] + b_ref[0, :]
     y = jnp.where(y < 0.0, slope * y, y)
     if out_int8:
-        y = jnp.clip(jnp.round(y * oqs_ref[0, :]), -127.0, 127.0)
+        y = y * oqs_ref[0, :]
+        if has_zp:
+            y = y - ozp_ref[0, :]
+        y = jnp.clip(jnp.round(y), -127.0, 127.0)
         y_ref[0] = y.astype(jnp.int8)
     else:
         y_ref[0] = y.astype(jnp.bfloat16)
@@ -157,28 +171,41 @@ def pair_conv_fused(
     bias: jax.Array,
     in_scales: Optional[jax.Array] = None,
     out_scales: Optional[jax.Array] = None,
+    out_zp: Optional[jax.Array] = None,
     negative_slope: float = 0.2,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """LeakyReLU(conv(quant(x), w) * w_scales + bias) [* out_scales->int8].
 
-    x: [N,H,W2,2C] bf16/f32 pair-packed stream.
-    w: [ny, nx, 2C, CO] int8 (with ``in_scales``/``w_scales``) or bf16/f32
+    x: [N,H,W2,2C] bf16/f32 pair-packed stream, OR a pre-quantized int8
+       stream (``in_scales=None`` with an int8 ``w`` — the exact-phase
+       stage-1 case, where the stage-0 kernel already emitted int8).
+    w: [ny, nx, 2C, CO] int8 (with ``w_scales``) or bf16/f32
        (``in_scales=None`` -> bf16 path, ``w_scales`` ignored/None).
-    pads: ((py_l, py_h), (px_l, px_h)) from rearrange_same_kernel_axes.
+    pads: ((py_l, py_h), (px_l, px_h)) from rearrange_same_kernel_axes;
+       any split with py_l + py_h == ny - 1 is supported (the per-phase
+       exact kernels have asymmetric 2-row supports).
     in_scales: [2C] f32 per-lane input quant scales (already folded into
        the int8 weights' input axes at calibration).
     out_scales: [CO] f32 -> emit int8 (full-turbo tail); None -> bf16.
+    out_zp: [CO] f32 optional zero points for an ASYMMETRIC int8 emit
+       (q = round(y*s - zp)) — post-LeakyReLU streams are skewed, so
+       the offset buys ~4 dB on the head-input requant; the consumer
+       adds the matching correction map (fast_infer head_corr).
     """
     n, h, w2, k2 = x.shape
     ny, nx, k2w, co = w.shape
     assert k2w == k2, (w.shape, x.shape)
     (py_l, py_h), (px_l, px_h) = pads
     assert px_l + px_h == nx - 1, pads
-    halo_lo = (ny - 1) // 2
-    halo_hi = ny - 1 - halo_lo
-    quant = in_scales is not None
+    assert py_l + py_h == ny - 1, pads
+    in_int8 = x.dtype == jnp.int8
+    quant = in_scales is not None or in_int8
+    assert not (in_int8 and in_scales is not None), \
+        "int8 input is already quantized; in_scales must be None"
     out_int8 = out_scales is not None
+    has_zp = out_zp is not None
+    assert not (has_zp and not out_int8), "out_zp needs out_scales"
     if interpret is None:
         interpret = _norms.INTERPRET
     # Measured dispatch (scripts/pair_conv_ab.py + in-graph bench A/B on
@@ -195,13 +222,14 @@ def pair_conv_fused(
         want_pallas = (out_int8 or bool(interpret)
                        or _os.environ.get("VCGU_PAIR_PALLAS") == "1")
     use_pallas = (_HAVE_PALLAS and (_norms._on_tpu() or interpret)
-                  and (py_l, py_h) == (halo_lo, halo_hi) and want_pallas)
-    th = _pick_th(h, w2, k2, co, ny, quant=quant, out_int8=out_int8) \
+                  and want_pallas)
+    th = _pick_th(h, w2, k2, co, ny, nx, quant=quant, in_int8=in_int8,
+                  out_int8=out_int8, py_l=py_l, py_h=py_h) \
         if use_pallas else None
     if th is None:
         return _reference(x, w, pads=pads, w_scales=w_scales, bias=bias,
                           in_scales=in_scales, out_scales=out_scales,
-                          negative_slope=negative_slope)
+                          out_zp=out_zp, negative_slope=negative_slope)
 
     grid = (n, h // th)
 
@@ -209,24 +237,29 @@ def pair_conv_fused(
         return (ni, i, 0, 0)
 
     def top_map(ni, i):
-        return (ni, jnp.maximum(i * (th // halo_lo) - 1, 0), 0, 0) \
-            if halo_lo else (ni, 0, 0, 0)
+        return (ni, jnp.maximum(i * (th // py_l) - 1, 0), 0, 0)
 
     def bot_map(ni, i):
-        return (ni, jnp.minimum(i * (th // halo_hi) + th // halo_hi,
-                                h // halo_hi - 1), 0, 0) \
-            if halo_hi else (ni, 0, 0, 0)
+        return (ni, jnp.minimum(i * (th // py_h) + th // py_h,
+                                h // py_h - 1), 0, 0)
 
     def blk(rows, rmap):
         return pl.BlockSpec((1, rows, w2, k2), rmap,
                             memory_space=pltpu.VMEM)
 
-    in_specs = [blk(max(halo_lo, 1), top_map), blk(th, cur_map),
-                blk(max(halo_hi, 1), bot_map)]
-    args = [x, x, x]
+    in_specs = []
+    args = []
+    if py_l:
+        in_specs.append(blk(py_l, top_map))
+        args.append(x)
+    in_specs.append(blk(th, cur_map))
+    args.append(x)
+    if py_h:
+        in_specs.append(blk(py_h, bot_map))
+        args.append(x)
     vec = lambda c: pl.BlockSpec((1, c), lambda ni, i: (0, 0),
                                  memory_space=pltpu.VMEM)
-    if quant:
+    if quant and not in_int8:
         in_specs += [vec(k2)]
         args += [jnp.asarray(in_scales, jnp.float32).reshape(1, k2)]
     in_specs += [pl.BlockSpec((ny, nx * k2, co), lambda ni, i: (0, 0, 0),
@@ -239,11 +272,15 @@ def pair_conv_fused(
     if out_int8:
         in_specs += [vec(co)]
         args += [jnp.asarray(out_scales, jnp.float32).reshape(1, co)]
+        if has_zp:
+            in_specs += [vec(co)]
+            args += [jnp.asarray(out_zp, jnp.float32).reshape(1, co)]
 
     out_dtype = jnp.int8 if out_int8 else jnp.bfloat16
     kernel = functools.partial(_kernel, th=th, ny=ny, nx=nx, px_l=px_l,
-                               quant=quant, out_int8=out_int8,
-                               slope=negative_slope)
+                               py_l=py_l, py_h=py_h, quant=quant,
+                               in_int8=in_int8, out_int8=out_int8,
+                               has_zp=has_zp, slope=negative_slope)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -259,16 +296,16 @@ def pair_conv_fused(
 
 
 def _reference(x, w, *, pads, w_scales, bias, in_scales, out_scales,
-               negative_slope):
+               negative_slope, out_zp=None):
     """Pure-XLA fallback: identical math (int32 accumulation, same f32
     epilogue order), used on CPU and as the test oracle."""
     from video_cycle_gan_upscaling_tpu.ops import subpixel as sp
 
     ny, nx, k2, co = w.shape
-    if in_scales is not None:
-        q = jnp.clip(jnp.round(x.astype(jnp.float32)
-                               * in_scales.reshape(-1)), -127, 127
-                     ).astype(jnp.int8)
+    if in_scales is not None or x.dtype == jnp.int8:
+        q = x if x.dtype == jnp.int8 else jnp.clip(
+            jnp.round(x.astype(jnp.float32) * in_scales.reshape(-1)),
+            -127, 127).astype(jnp.int8)
         acc = lax.conv_general_dilated(
             q, w, (1, 1), pads, dimension_numbers=sp.CONV_DIMS,
             preferred_element_type=jnp.int32)
@@ -280,6 +317,8 @@ def _reference(x, w, *, pads, w_scales, bias, in_scales, out_scales,
         y = acc.astype(jnp.float32) + bias.reshape(-1)
     y = jnp.where(y < 0.0, negative_slope * y, y)
     if out_scales is not None:
-        return jnp.clip(jnp.round(y * out_scales.reshape(-1)), -127, 127
-                        ).astype(jnp.int8)
+        y = y * out_scales.reshape(-1)
+        if out_zp is not None:
+            y = y - out_zp.reshape(-1)
+        return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
     return y.astype(jnp.bfloat16)
