@@ -1058,12 +1058,14 @@ class FastOrigRunner:
                     # Per-phase conv + epilogue. The fused Pallas form
                     # (pair_conv_fused int8-in/int8-out) wins ISOLATED
                     # (5.35 vs 7.24 ms/f at the x4 flagship) but loses
-                    # in-graph (apply_u8 15.88 -> 20.93 ms/f): the int8
-                    # relayout at the custom-call boundary before the
-                    # head conv eats the win (docs/PERF.md round 3).
+                    # in-graph (apply_u8 16.58 -> 20.95 ms/f) — and the
+                    # loss is NOT the head-side relayout: chaining the
+                    # Pallas head after it (scripts/pallas_chain_ab.py)
+                    # costs the same +4.4 ms/f, so the relayout sits at
+                    # the kernel's own INPUT boundary (q0 arrives from
+                    # the stage-0 emit in XLA's int8 conv layout).
                     # Env-gated VCGU_PAIR_PHASE=1 for experiments; the
-                    # XLA chain (fused epilogue, no relayout) is the
-                    # default.
+                    # XLA chain is the default.
                     if _os.environ.get("VCGU_PAIR_PHASE", "0") == "1":
                         z = pair_conv.pair_conv_fused(
                             q0, qp[f"upx{ph}_w_q"],
