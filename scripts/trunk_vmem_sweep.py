@@ -47,7 +47,13 @@ def main():
             probe = jax.jit(lambda qp, x: jnp.sum(
                 r.apply_trunk(qp, r.apply_stem(qp, x)
                               ).astype(jnp.float32)))
-            float(probe(qp, x))
+            try:
+                float(probe(qp, x))
+            except Exception as e:
+                log(f"x{factor} trunk bf16 @ budget {budget_mb:3d}MB "
+                    f"(th={th}): FAILED ({type(e).__name__}: "
+                    f"{str(e)[:100]})")
+                continue
             t0 = time.perf_counter()
             for _ in range(8):
                 float(probe(qp, x))
