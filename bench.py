@@ -62,6 +62,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _force(out):
+    """Honest execution-forcing probe: materialize the FULL output
+    (optimization_barrier defeats DCE — every element is computed and
+    written), then reduce only a strided sliver to a scalar for the
+    device->host fetch. The previous jnp.sum(out) probe re-read the
+    whole ~800 MB clip output through a convert+reduce fusion — a pure
+    measurement artifact worth ~0.4-0.9 ms/frame that a real consumer
+    (output DMA) never pays (profiler decomposition, docs/PERF.md
+    round 3)."""
+    out = jax.lax.optimization_barrier(out)
+    sl = out[tuple(slice(None, None, max(1, d // 4)) for d in out.shape)]
+    return jnp.sum(sl.astype(jnp.float32))
+
+
 def _psnr(a, b):
     mse = float(np.mean((np.asarray(a, np.float32)
                          - np.asarray(b, np.float32)) ** 2))
@@ -131,7 +145,7 @@ def bench_tiled_inference():
         batch0 = jax.device_put(jnp.asarray(
             np.random.default_rng(0).uniform(-1, 1, (batch, *FRAME_HW, 3)),
             jnp.float32))
-        probe = jax.jit(lambda p, x: jnp.sum(up.batch(p, x)))
+        probe = jax.jit(lambda p, x: _force(up.batch(p, x)))
         float(probe(qp, batch0))  # compile + warmup
         t0 = time.perf_counter()
         for _ in range(N_ROUNDS):
@@ -151,8 +165,7 @@ def bench_tiled_inference():
                 key, (CLIP_CHUNKS, batch, *FRAME_HW, 3), 0, 256,
                 jnp.int32).astype(jnp.uint8))
             clip = gen_clip(jax.random.PRNGKey(7))
-            probe_clip = jax.jit(
-                lambda p, c: jnp.sum(up.clip_u8(p, c).astype(jnp.float32)))
+            probe_clip = jax.jit(lambda p, c: _force(up.clip_u8(p, c)))
             float(probe_clip(qp, clip))  # compile + warmup
             t0 = time.perf_counter()
             for _ in range(N_ROUNDS):
@@ -266,8 +279,7 @@ def bench_x4_inference():
             key, (CLIP_CHUNKS, FRAME_BATCH, *hw, 3), 0, 256,
             jnp.int32).astype(jnp.uint8))
         clip = gen(jax.random.PRNGKey(7))
-        probe = jax.jit(lambda p, c: jnp.sum(
-            up.clip_u8(p, c).astype(jnp.float32)))
+        probe = jax.jit(lambda p, c: _force(up.clip_u8(p, c)))
         float(probe(qp, clip))
         t0 = time.perf_counter()
         for _ in range(4):

@@ -208,6 +208,14 @@ class FastOrigRunner:
                 wk0, p0y, p0x = sp.rearrange_same_kernel_axes(
                     wp0, 1, 2, P_y=q0y, P_x=q0x)
                 self.up0_pads = (p0y, p0x)
+                # NOTE (round-3 negative result): permuting the emit
+                # lanes py-major so the canonical unfold becomes one
+                # plain row-interleave measured SLOWER end-to-end
+                # (x4 tail8 clip 58.03 -> 54.2 fps) even though the
+                # profiler showed the natural (u',py,px,c) order costs
+                # two full copies of the mid stream — XLA's holistic
+                # layout assignment absorbs the 7-d transpose better
+                # than the "cheap" swapaxes. Keep the natural order.
                 qp["up0_w_x"] = wk0.astype(dtype)
                 qp["up0_b"] = up0["bias"]
                 self.c_mid = up0["kernel"].shape[-1]
@@ -888,8 +896,12 @@ class FastOrigRunner:
         """Stage-0 x-packed up-conv output [N,H,Wp,8C'] — lane order
         (u', py, px, c), i.e. output W-pair slot major then phase-major
         (rearrange_same_kernel_axes docstring) — to the canonical
-        [N,2H,2W,C'] 2x stream: rows (y,py), cols (w~,u',px). One
-        transpose of an LR-sized tensor (HBM-bound, ~us/frame)."""
+        [N,2H,2W,C'] 2x stream: rows (y,py), cols (w~,u',px). Lowers to
+        a layout copy + a 7-d transpose (~1.0 ms/f at x4, profiler
+        decomposition docs/PERF.md round 3); a py-major lane
+        permutation that makes this a single row-interleave measured
+        SLOWER end-to-end (58.03 -> 54.2 fps) — XLA's layout assignment
+        handles this form better. Keep it."""
         n, h, wp2, cs = y1.shape
         c = cs // 8
         x = y1.reshape(n, h, wp2, 2, 2, 2, c)
