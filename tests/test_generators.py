@@ -121,3 +121,41 @@ def test_dropout_only_active_in_train_mode():
     t1 = model.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
     t2 = model.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_orig_head_block_equivalent_values_and_grads():
+    """head_block=4 (the S-blocked training head: 48 MXU output lanes
+    instead of 3) must match the plain pixel head in values AND
+    parameter gradients — same params, same linear map, different
+    blocking only (round-3 train-step trace: the 3-lane head region was
+    22 of 52 ms device time)."""
+    import numpy as np
+    from video_cycle_gan_upscaling_tpu.models.generators import UpscalerOrig
+
+    x = jnp.asarray(np.random.default_rng(5).uniform(
+        -1, 1, (2, 16, 16, 3)), jnp.float32)
+    m1 = UpscalerOrig(kernel_size=3, filters=8, upscale_factor=4,
+                      res_block_num=2, dtype=jnp.float32, head_block=1)
+    m4 = UpscalerOrig(kernel_size=3, filters=8, upscale_factor=4,
+                      res_block_num=2, dtype=jnp.float32, head_block=4)
+    variables = m1.init(jax.random.PRNGKey(3), x)
+    y1 = m1.apply(variables, x)
+    y4 = m4.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(y1),
+                               rtol=2e-5, atol=2e-5)
+
+    tgt = jnp.ones_like(y1) * 0.1
+
+    def loss(m):
+        return lambda p: jnp.mean(
+            (m.apply({"params": p}, x) - tgt) ** 2)
+
+    g1 = jax.grad(loss(m1))(variables["params"])
+    g4 = jax.grad(loss(m4))(variables["params"])
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat4 = dict(jax.tree_util.tree_leaves_with_path(g4))
+    for path, l1 in flat1:
+        l4 = flat4[path]
+        np.testing.assert_allclose(
+            np.asarray(l4), np.asarray(l1), rtol=5e-4, atol=5e-5,
+            err_msg=str(path))

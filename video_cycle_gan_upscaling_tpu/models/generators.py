@@ -105,6 +105,15 @@ class UpscalerOrig(nn.Module):
     # BACKWARD is a scatter-add, so differentiated phase graphs want a
     # small cap (scripts/microbench_r3h.py); inference keeps the auto pick.
     phase_head_extra: int | None = None
+    # PIXEL-tail head blocking for TRAINING graphs: evaluate the final
+    # 9x9 conv as an S-blocked strided conv (3*S^2 MXU output lanes
+    # instead of 3) + depth_to_space — same params, same math. The
+    # round-3 device trace showed the 3-lane head region is 22 of the
+    # GAN step's 52 ms device time at 0.8-3% MFU (its forward+loss
+    # fusion alone 14.3 ms); S=4 lifts the lanes 16x. 1 = plain conv
+    # (default; inference paths and goldens unchanged), >1 = block when
+    # the HR dims divide.
+    head_block: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -128,6 +137,13 @@ class UpscalerOrig(nn.Module):
             for i in range(times):
                 y = UpsamplingBlock(self.kernel_size, 256, self.dtype,
                                     name=f"upscale_{i}")(y)
+            hb = self.head_block
+            if hb > 1 and y.shape[1] % hb == 0 and y.shape[2] % hb == 0:
+                w9, b9 = _ConvParams(9, y.shape[-1], 3,
+                                     name="final_conv")()
+                yp = sp.conv_same_phase_blocked(y, w9, b9, 1, hb)
+                return sp.depth_to_space(
+                    jnp.tanh(yp.astype(jnp.float32)), hb)
             y = conv(3, 9, dtype=self.dtype, name="final_conv")(y)
             return jnp.tanh(y.astype(jnp.float32))
 
