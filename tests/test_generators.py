@@ -123,21 +123,31 @@ def test_dropout_only_active_in_train_mode():
     assert not np.array_equal(np.asarray(t1), np.asarray(t2))
 
 
-def test_orig_head_block_equivalent_values_and_grads():
+@pytest.mark.parametrize("family", ["orig", "attention", "cyclegan"])
+def test_head_block_equivalent_values_and_grads(family):
     """head_block=4 (the S-blocked training head: 48 MXU output lanes
     instead of 3) must match the plain pixel head in values AND
     parameter gradients — same params, same linear map, different
     blocking only (round-3 train-step trace: the 3-lane head region was
-    22 of 52 ms device time)."""
+    22 of 52 ms device time). One ResNet-tail family, one
+    attention-tail family, and the k=7 CycleGAN head cover the three
+    head variants."""
     import numpy as np
-    from video_cycle_gan_upscaling_tpu.models.generators import UpscalerOrig
+    from video_cycle_gan_upscaling_tpu.models import generators as G
 
+    mk = {
+        "orig": lambda hb: G.UpscalerOrig(
+            kernel_size=3, filters=8, upscale_factor=4, res_block_num=2,
+            dtype=jnp.float32, head_block=hb),
+        "attention": lambda hb: G.UpscalerAttention(
+            kernel_size=3, filters=8, upscale_factor=2, res_block_num=2,
+            dtype=jnp.float32, head_block=hb),
+        "cyclegan": lambda hb: G.CycleGanResnetGenerator(
+            filters=8, res_block_num=2, dtype=jnp.float32, head_block=hb),
+    }[family]
     x = jnp.asarray(np.random.default_rng(5).uniform(
         -1, 1, (2, 16, 16, 3)), jnp.float32)
-    m1 = UpscalerOrig(kernel_size=3, filters=8, upscale_factor=4,
-                      res_block_num=2, dtype=jnp.float32, head_block=1)
-    m4 = UpscalerOrig(kernel_size=3, filters=8, upscale_factor=4,
-                      res_block_num=2, dtype=jnp.float32, head_block=4)
+    m1, m4 = mk(1), mk(4)
     variables = m1.init(jax.random.PRNGKey(3), x)
     y1 = m1.apply(variables, x)
     y4 = m4.apply(variables, x)

@@ -73,3 +73,44 @@ def test_config_roundtrip(tmp_path):
     loaded = RunConfig.load(str(tmp_path / "p.json"))
     assert loaded.family == "cgc" and loaded.subdir == "x"
     assert loaded.prefix == cfg.prefix
+
+
+def test_device_op_table_aggregates_synthetic_trace(tmp_path):
+    """device_op_table: parses a trace.json.gz, selects only the device
+    pid's 'XLA Ops' thread, sums durations per op across repeats, and
+    sorts descending."""
+    import gzip
+    import json
+
+    from video_cycle_gan_upscaling_tpu.utils.profiling import device_op_table
+
+    d = tmp_path / "plugins" / "profile" / "2026_01_01_00_00_00"
+    d.mkdir(parents=True)
+    ev = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 3, "tid": 7, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 9, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        {"ph": "M", "pid": 9, "tid": 1, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},  # host thread with same name
+        # two iterations of op a (device), one of op b, one host op
+        {"ph": "X", "pid": 3, "tid": 7, "name": "a", "dur": 2000,
+         "args": {"hlo_category": "convolution fusion",
+                  "model_flops": "10", "source": "x.py:1"}},
+        {"ph": "X", "pid": 3, "tid": 7, "name": "a", "dur": 4000,
+         "args": {"hlo_category": "convolution fusion"}},
+        {"ph": "X", "pid": 3, "tid": 7, "name": "b", "dur": 1000,
+         "args": {}},
+        {"ph": "X", "pid": 9, "tid": 1, "name": "host_op", "dur": 9999999,
+         "args": {}},
+    ]
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": ev}, f)
+    rows = device_op_table(str(tmp_path), iters=2)
+    assert [r["name"] for r in rows] == ["a", "b"]
+    assert abs(rows[0]["ms"] - 3.0) < 1e-9  # (2000+4000)us / 2 iters
+    assert rows[0]["hlo_category"] == "convolution fusion"
+    assert rows[0]["source"] == "x.py:1"
+    assert abs(rows[1]["ms"] - 0.5) < 1e-9

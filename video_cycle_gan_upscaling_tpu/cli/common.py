@@ -229,8 +229,11 @@ class Run:
                                        self.cfg.loss.loss_activation)
 
     def generator(self):
+        # head_block=4: the S-blocked training head (generators._head_conv)
+        # — same params/math, 16x the MXU output lanes on the 3-channel
+        # head; bench GAN step 88.9 -> 76.5 ms (docs/PERF.md round 3)
         return make_generator(self.cfg.model, self.cfg.train.downscale_factor,
-                              dtype=self.dtype)
+                              dtype=self.dtype, head_block=4)
 
     def discriminator(self):
         return make_discriminator(self.cfg.model, dtype=self.dtype)

@@ -77,6 +77,26 @@ def _upscale_times(factor: int) -> int:
     return t
 
 
+def _head_conv(parent, y, k: int = 9, name: str = "final_conv"):
+    """Final 3-channel conv (pre-tanh), optionally S-blocked via the
+    module's ``head_block`` field: evaluated as an S-blocked strided
+    conv + depth_to_space (scatter-free einsum prepack, ops/subpixel)
+    so the MXU sees 3*S^2 output lanes instead of 3. Same param tree
+    (nn.Conv-compatible), same linear map — value/grad equivalence in
+    tests/test_generators.py. The round-3 device trace put the 3-lane
+    head region at 22 of the GAN step's 52 ms device time; S=4 measured
+    88.9 -> 76.5 ms/step at the bench config (docs/PERF.md)."""
+    hb = getattr(parent, "head_block", 1)
+    if hb > 1 and y.shape[1] % hb == 0 and y.shape[2] % hb == 0:
+        from video_cycle_gan_upscaling_tpu.models.blocks import _ConvParams
+        from video_cycle_gan_upscaling_tpu.ops import subpixel as sp
+
+        w, b = _ConvParams(k, y.shape[-1], 3, name=name, parent=parent)()
+        yp = sp.conv_same_phase_blocked(y, w, b, 1, hb)
+        return sp.depth_to_space(yp, hb)
+    return conv(3, k, dtype=parent.dtype, name=name)(y)
+
+
 class UpscalerOrig(nn.Module):
     """SRGAN-style ResNet upscaler (model.py:267-295).
 
@@ -137,14 +157,7 @@ class UpscalerOrig(nn.Module):
             for i in range(times):
                 y = UpsamplingBlock(self.kernel_size, 256, self.dtype,
                                     name=f"upscale_{i}")(y)
-            hb = self.head_block
-            if hb > 1 and y.shape[1] % hb == 0 and y.shape[2] % hb == 0:
-                w9, b9 = _ConvParams(9, y.shape[-1], 3,
-                                     name="final_conv")()
-                yp = sp.conv_same_phase_blocked(y, w9, b9, 1, hb)
-                return sp.depth_to_space(
-                    jnp.tanh(yp.astype(jnp.float32)), hb)
-            y = conv(3, 9, dtype=self.dtype, name="final_conv")(y)
+            y = _head_conv(self, y)
             return jnp.tanh(y.astype(jnp.float32))
 
         r = 1
@@ -178,6 +191,8 @@ class UpscalerAttention(nn.Module):
     res_block_num: int = 16
     norm: str = "instance"
     dtype: jnp.dtype = jnp.float32
+    # see UpscalerOrig.head_block (S-blocked training head)
+    head_block: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -194,7 +209,7 @@ class UpscalerAttention(nn.Module):
             scale = 2 ** (i + 1)
             y = AttentionUpsamplingBlock(scale, self.kernel_size, 128, self.dtype,
                                          name=f"upscale_{i}")(y, x)
-        y = conv(3, 9, dtype=self.dtype, name="final_conv")(y)
+        y = _head_conv(self, y)
         return jnp.tanh(y.astype(jnp.float32))
 
 
@@ -210,6 +225,8 @@ class UpscalerSkipCon(nn.Module):
     res_block_num: int = 16
     norm: str = "instance"
     dtype: jnp.dtype = jnp.float32
+    # see UpscalerOrig.head_block (S-blocked training head)
+    head_block: int = 1
     phase_tail: bool = False
 
     @nn.compact
@@ -235,7 +252,7 @@ class UpscalerSkipCon(nn.Module):
             for i in range(times):
                 y = UpsamplingBlock(3, 224, self.dtype, name=f"upscale_{i}")(y)
             y = jnp.concatenate([resized, y], axis=-1)
-            y = conv(3, 9, dtype=self.dtype, name="final_conv")(y)
+            y = _head_conv(self, y)
             return jnp.tanh(y.astype(jnp.float32))
 
         r = 1
@@ -280,6 +297,8 @@ class UpscalerIncepResnet(nn.Module):
     c_block_kernel: int = 3
     norm: str = "instance"
     dtype: jnp.dtype = jnp.float32
+    # see UpscalerOrig.head_block (S-blocked training head)
+    head_block: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -300,7 +319,7 @@ class UpscalerIncepResnet(nn.Module):
         y = _norm_residual(self, y, trunk_in, self.norm, "prefinal_norm")
         for i in range(_upscale_times(self.upscale_factor)):
             y = UpsamplingBlock(self.c_block_kernel, 256, self.dtype, name=f"upscale_{i}")(y)
-        y = conv(3, 9, dtype=self.dtype, name="final_conv")(y)
+        y = _head_conv(self, y)
         return jnp.tanh(y.astype(jnp.float32))
 
 
@@ -316,6 +335,8 @@ class _UnetishBase(nn.Module):
     dropout_rate: float = 0.1
     norm: str = "instance"
     dtype: jnp.dtype = jnp.float32
+    # see UpscalerOrig.head_block (S-blocked training head)
+    head_block: int = 1
 
     def _down_path(self, y, det):
         skips = []
@@ -357,7 +378,7 @@ class UpscalerUnetish(_UnetishBase):
             for i in range(self.step_size):
                 y = UnetConvBlock(self.kernel_size, f, 1, self.dropout_rate,
                                   self.norm, self.dtype, name=f"up_{step}_same_{i}")(y, det)
-        y = conv(3, 9, dtype=self.dtype, name="final_conv")(y)
+        y = _head_conv(self, y)
         y = jnp.tanh(y.astype(jnp.float32))
         return vops.center_crop_to(y, (out_h, out_w))
 
@@ -394,7 +415,7 @@ class UpscalerUnetishAdd(_UnetishBase):
         resized = vops.resize_bilinear(x, self.upscale_factor)
         resized = vops.safe_atanh(resized.astype(jnp.float32)).astype(self.dtype)
         y = crop_merge_add(y, resized)
-        y = conv(3, 9, dtype=self.dtype, name="final_conv")(y)
+        y = _head_conv(self, y)
         return jnp.tanh(y.astype(jnp.float32))
 
 
@@ -452,6 +473,8 @@ class CycleGanResnetGenerator(nn.Module):
     res_block_num: int = 9
     norm: str = "instance"
     dtype: jnp.dtype = jnp.float32
+    # see UpscalerOrig.head_block (S-blocked training head)
+    head_block: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -473,16 +496,17 @@ class CycleGanResnetGenerator(nn.Module):
             f //= 2
             y = conv_t(f, 3, 2, dtype=self.dtype, name=f"up_{i}")(y)
             y = _norm_relu(self, y, self.norm, f"up_{i}_norm")
-        y = conv(3, 7, dtype=self.dtype, name="head")(y)
+        y = _head_conv(self, y, k=7, name="head")
         return jnp.tanh(y.astype(jnp.float32))
 
 
 def make_generator(cfg, upscale_factor: int | None = None, dtype=jnp.float32,
-                   phase_tail: bool = False):
+                   phase_tail: bool = False, head_block: int = 1):
     """Factory keyed on ModelConfig.generator (train_gan.py:208-217 parity).
-    ``phase_tail`` selects the fast inference tail where supported."""
+    ``phase_tail`` selects the fast inference tail where supported;
+    ``head_block`` the S-blocked training head (_head_conv)."""
     f = upscale_factor if upscale_factor is not None else 4
-    common = dict(norm=cfg.norm, dtype=dtype)
+    common = dict(norm=cfg.norm, dtype=dtype, head_block=head_block)
     name = cfg.generator
     if name == "orig":
         return UpscalerOrig(cfg.kernel_size, cfg.filters, f, cfg.res_block_num,

@@ -60,3 +60,54 @@ class StepTimer:
             "steps_per_sec": sps,
             "items_per_sec": sps * items_per_step,
         }
+
+
+def device_op_table(log_dir: str = "/tmp/vcgu_trace",
+                    iters: int = 1) -> list:
+    """Aggregate a captured trace's DEVICE-side XLA op events into a
+    per-op time table (descending total time).
+
+    The round-3 discovery behind this helper: jax.profiler traces DO
+    carry device op events through the tunneled axon platform, so
+    per-op attribution works where wall-clock ablation can't (see
+    docs/PERF.md round-3 decompositions). Returns a list of dicts with
+    name / ms (per ``iters``) / hlo_category / model_flops / source.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(f"{log_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace under {log_dir}")
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    # device pid: the process named like /device:TPU:*; ops live on the
+    # 'XLA Ops' thread (tid discovered from metadata)
+    dev_pids = set()
+    op_tids = {}
+    for e in data.get("traceEvents", []):
+        if e.get("ph") != "M":
+            continue
+        if (e.get("name") == "process_name"
+                and "/device:" in str(e.get("args", {}).get("name", ""))):
+            dev_pids.add(e.get("pid"))
+        if (e.get("name") == "thread_name"
+                and e.get("args", {}).get("name") == "XLA Ops"):
+            op_tids[e.get("pid")] = e.get("tid")
+    agg: dict = collections.defaultdict(
+        lambda: {"ms": 0.0, "hlo_category": "?", "model_flops": 0,
+                 "source": "?"})
+    for e in data.get("traceEvents", []):
+        if (e.get("ph") == "X" and e.get("pid") in dev_pids
+                and e.get("tid") == op_tids.get(e.get("pid"))):
+            a = e.get("args", {})
+            row = agg[e["name"]]
+            row["ms"] += e.get("dur", 0) / 1e3 / iters
+            row["hlo_category"] = a.get("hlo_category", row["hlo_category"])
+            row["model_flops"] = int(a.get("model_flops", 0) or 0)
+            row["source"] = a.get("source", row["source"])
+    out = [{"name": k, **v} for k, v in agg.items()]
+    out.sort(key=lambda r: -r["ms"])
+    return out
