@@ -71,7 +71,8 @@ def main():
 
     # --- paired GAN at the headline config (bs=8, 256^2 crops, x4) ------
     gen = UpscalerOrig(kernel_size=5, filters=64, upscale_factor=4,
-                       res_block_num=16, dtype=jnp.bfloat16)
+                       res_block_num=16, dtype=jnp.bfloat16,
+                       head_block=4)  # trainers' S-blocked head
     disc = PatchGanDiscriminator(dtype=jnp.bfloat16)
     lr = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (8, 64, 64, 3)),
                      jnp.float32)
@@ -84,7 +85,8 @@ def main():
 
     # --- cgc supervised step (3 sources, bs=2 each -> 6 imgs/step) -------
     gen2 = UpscalerOrig(kernel_size=5, filters=64, upscale_factor=4,
-                        res_block_num=16, dtype=jnp.bfloat16)
+                        res_block_num=16, dtype=jnp.bfloat16,
+                        head_block=4)
     lr6 = jnp.asarray(np.random.default_rng(2).uniform(-1, 1, (6, 128, 128, 3)),
                       jnp.float32)
     hr6 = jnp.asarray(np.random.default_rng(3).uniform(-1, 1, (6, 512, 512, 3)),
@@ -98,7 +100,8 @@ def main():
     bench_step("cgc supervised 3x2 512^2 (mse)", sstep, sstate, lr6, hr6)
 
     # --- CycleGAN step (config 3/5 workload) at 256^2 --------------------
-    cg = lambda: CycleGanResnetGenerator(dtype=jnp.bfloat16)
+    cg = lambda: CycleGanResnetGenerator(dtype=jnp.bfloat16,
+                                     head_block=4)
     cd = lambda: PatchGanDiscriminator(dtype=jnp.bfloat16)
     a = jnp.asarray(np.random.default_rng(4).uniform(-1, 1, (2, 256, 256, 3)),
                     jnp.float32)
