@@ -302,8 +302,8 @@ def bench_train_step():
     from video_cycle_gan_upscaling_tpu.train import create_gan_state, make_gan_step
 
     gen = UpscalerOrig(kernel_size=5, filters=64, upscale_factor=4,
-                       res_block_num=16, dtype=jnp.bfloat16,
-                       head_block=4)  # S-blocked training head (trainers' config)
+                       res_block_num=16, dtype=jnp.bfloat16, head_block=4,
+                       trunk_pack=True)  # trainers' training-graph config
     disc = PatchGanDiscriminator(dtype=jnp.bfloat16)
     lr = jnp.zeros((8, 64, 64, 3), jnp.float32)
     hr = jnp.zeros((8, 256, 256, 3), jnp.float32)

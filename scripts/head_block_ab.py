@@ -51,5 +51,50 @@ def main():
             f"(incl ~29 ms RPC)")
 
 
+
+
+def trunk_pack_ab():
+    """Follow-up A/B: trunk_pack (W-pair-packed trunk) on top of the
+    S-blocked head, full GAN step at the bench config."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_cycle_gan_upscaling_tpu.losses import (
+        pixel_mse, wasserstein_pair_losses)
+    from video_cycle_gan_upscaling_tpu.models import (
+        PatchGanDiscriminator, UpscalerOrig)
+    from video_cycle_gan_upscaling_tpu.train import (
+        create_gan_state, make_gan_step)
+
+    lr = jnp.zeros((8, 64, 64, 3), jnp.float32)
+    hr = jnp.zeros((8, 256, 256, 3), jnp.float32)
+    for tp in (False, True):
+        gen = UpscalerOrig(kernel_size=5, filters=64, upscale_factor=4,
+                           res_block_num=16, dtype=jnp.bfloat16,
+                           head_block=4, trunk_pack=tp)
+        disc = PatchGanDiscriminator(dtype=jnp.bfloat16)
+        state = create_gan_state(gen, disc, jax.random.PRNGKey(0), lr, hr)
+        step = make_gan_step(wasserstein_pair_losses(), pixel_mse,
+                             adversarial_loss_weight=1e-6)
+        state, m = step(state, lr, hr)
+        float(m["loss_gan_total"])
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = step(state, lr, hr)
+            float(m["loss_gan_total"])
+        ms = (time.perf_counter() - t0) / n * 1e3
+        log(f"GAN step bs=8 256^2 head_block=4 trunk_pack={tp}: "
+            f"{ms:.1f} ms (incl ~29 ms RPC)")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--trunk-pack" in sys.argv:
+        import jax as _j
+
+        log(f"devices: {_j.devices()}")
+        trunk_pack_ab()
+    else:
+        main()

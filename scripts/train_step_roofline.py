@@ -72,7 +72,7 @@ def main():
     # --- paired GAN at the headline config (bs=8, 256^2 crops, x4) ------
     gen = UpscalerOrig(kernel_size=5, filters=64, upscale_factor=4,
                        res_block_num=16, dtype=jnp.bfloat16,
-                       head_block=4)  # trainers' S-blocked head
+                       head_block=4, trunk_pack=True)  # trainers' config
     disc = PatchGanDiscriminator(dtype=jnp.bfloat16)
     lr = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (8, 64, 64, 3)),
                      jnp.float32)
@@ -86,7 +86,7 @@ def main():
     # --- cgc supervised step (3 sources, bs=2 each -> 6 imgs/step) -------
     gen2 = UpscalerOrig(kernel_size=5, filters=64, upscale_factor=4,
                         res_block_num=16, dtype=jnp.bfloat16,
-                        head_block=4)
+                        head_block=4, trunk_pack=True)
     lr6 = jnp.asarray(np.random.default_rng(2).uniform(-1, 1, (6, 128, 128, 3)),
                       jnp.float32)
     hr6 = jnp.asarray(np.random.default_rng(3).uniform(-1, 1, (6, 512, 512, 3)),
@@ -101,7 +101,7 @@ def main():
 
     # --- CycleGAN step (config 3/5 workload) at 256^2 --------------------
     cg = lambda: CycleGanResnetGenerator(dtype=jnp.bfloat16,
-                                     head_block=4)
+                                     head_block=4, trunk_pack=True)
     cd = lambda: PatchGanDiscriminator(dtype=jnp.bfloat16)
     a = jnp.asarray(np.random.default_rng(4).uniform(-1, 1, (2, 256, 256, 3)),
                     jnp.float32)

@@ -169,3 +169,40 @@ def test_head_block_equivalent_values_and_grads(family):
         np.testing.assert_allclose(
             np.asarray(l4), np.asarray(l1), rtol=5e-4, atol=5e-5,
             err_msg=str(path))
+
+
+def test_orig_trunk_pack_equivalent_values_and_grads():
+    """trunk_pack=True (W-pair-packed trunk: full 128 MXU lanes on the
+    64-channel trunk convs) must match the canonical trunk in values
+    AND parameter gradients — the packing is a spatial reshape, the
+    pair kernels are einsum rearrangements of the same params, and the
+    packed instance-norm stats fold the two W-slots exactly."""
+    import numpy as np
+    from video_cycle_gan_upscaling_tpu.models.generators import UpscalerOrig
+
+    x = jnp.asarray(np.random.default_rng(6).uniform(
+        -1, 1, (2, 12, 16, 3)), jnp.float32)
+    m0 = UpscalerOrig(kernel_size=3, filters=8, upscale_factor=2,
+                      res_block_num=2, dtype=jnp.float32, trunk_pack=False)
+    mp = UpscalerOrig(kernel_size=3, filters=8, upscale_factor=2,
+                      res_block_num=2, dtype=jnp.float32, trunk_pack=True)
+    variables = m0.init(jax.random.PRNGKey(4), x)
+    y0 = m0.apply(variables, x)
+    yp = mp.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(y0),
+                               rtol=2e-5, atol=2e-5)
+
+    tgt = jnp.full_like(y0, -0.2)
+
+    def loss(m):
+        return lambda p: jnp.mean((m.apply({"params": p}, x) - tgt) ** 2)
+
+    g0 = jax.grad(loss(m0))(variables["params"])
+    gp = jax.grad(loss(mp))(variables["params"])
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flatp = dict(jax.tree_util.tree_leaves_with_path(gp))
+    for path, l0 in flat0:
+        lp = flatp[path]
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(l0), rtol=1e-3, atol=1e-5,
+            err_msg=str(path))

@@ -233,7 +233,8 @@ class Run:
         # — same params/math, 16x the MXU output lanes on the 3-channel
         # head; bench GAN step 88.9 -> 76.5 ms (docs/PERF.md round 3)
         return make_generator(self.cfg.model, self.cfg.train.downscale_factor,
-                              dtype=self.dtype, head_block=4)
+                              dtype=self.dtype, head_block=4,
+                              trunk_pack=True)
 
     def discriminator(self):
         return make_discriminator(self.cfg.model, dtype=self.dtype)

@@ -125,6 +125,16 @@ class UpscalerOrig(nn.Module):
     # BACKWARD is a scatter-add, so differentiated phase graphs want a
     # small cap (scripts/microbench_r3h.py); inference keeps the auto pick.
     phase_head_extra: int | None = None
+    # W-pair-packed trunk for TRAINING graphs: the 64-channel trunk
+    # convs use 64 of 128 MXU lanes; packing W-pairs into channels
+    # (free reshape + in-graph einsum-rearranged pair kernels,
+    # blocks.ResidualBlockPacked) runs them at full lanes for 1.4x
+    # structural taps. Isolated 16-block chain fwd+bwd at the bench
+    # training shape: 19.96 -> 5.3 ms net of RPC
+    # (scripts/packed_trunk_train_ab.py). Instance norm only; same
+    # param tree; False default keeps inference/golden graphs
+    # unchanged.
+    trunk_pack: bool = False
     # PIXEL-tail head blocking for TRAINING graphs: evaluate the final
     # 9x9 conv as an S-blocked strided conv (3*S^2 MXU output lanes
     # instead of 3) + depth_to_space — same params, same math. The
@@ -146,12 +156,37 @@ class UpscalerOrig(nn.Module):
         x = x.astype(self.dtype)
         y = conv(self.filters, 9, dtype=self.dtype, name="initial_conv")(x)
         y = PReLU(name="initial_prelu")(y)
-        trunk_in = y
-        for i in range(self.res_block_num):
-            y = ResidualBlock(self.kernel_size, self.filters, self.norm,
-                              self.dtype, name=f"res_block_{i}")(y)
-        y = conv(self.filters, self.kernel_size, dtype=self.dtype, name="prefinal_conv")(y)
-        y = _norm_residual(self, y, trunk_in, self.norm, "prefinal_norm")
+        if (self.trunk_pack and self.norm == "instance"
+                and y.shape[2] % 2 == 0):
+            from video_cycle_gan_upscaling_tpu.models.blocks import (
+                ResidualBlockPacked,
+                _NormParams,
+                _instance_norm_packed,
+                packed_pair_conv,
+            )
+
+            n_, h_, w_, c_ = y.shape
+            yp = y.reshape(n_, h_, w_ // 2, 2 * c_)
+            trunk_in_p = yp
+            for i in range(self.res_block_num):
+                yp = ResidualBlockPacked(self.kernel_size, self.filters,
+                                         self.dtype,
+                                         name=f"res_block_{i}")(yp)
+            wpf, bpf = _ConvParams(self.kernel_size, self.filters,
+                                   self.filters, name="prefinal_conv")()
+            yp = packed_pair_conv(yp, wpf, bpf, self.dtype)
+            gpf, npf = _NormParams(self.filters, name="prefinal_norm")()
+            yp = _instance_norm_packed(yp, gpf, npf, skip=trunk_in_p)
+            y = yp.reshape(n_, h_, w_, c_).astype(self.dtype)
+        else:
+            trunk_in = y
+            for i in range(self.res_block_num):
+                y = ResidualBlock(self.kernel_size, self.filters, self.norm,
+                                  self.dtype, name=f"res_block_{i}")(y)
+            y = conv(self.filters, self.kernel_size, dtype=self.dtype,
+                     name="prefinal_conv")(y)
+            y = _norm_residual(self, y, trunk_in, self.norm,
+                               "prefinal_norm")
         times = _upscale_times(self.upscale_factor)
         if not self.phase_tail:
             for i in range(times):
@@ -501,16 +536,19 @@ class CycleGanResnetGenerator(nn.Module):
 
 
 def make_generator(cfg, upscale_factor: int | None = None, dtype=jnp.float32,
-                   phase_tail: bool = False, head_block: int = 1):
+                   phase_tail: bool = False, head_block: int = 1,
+                   trunk_pack: bool = False):
     """Factory keyed on ModelConfig.generator (train_gan.py:208-217 parity).
     ``phase_tail`` selects the fast inference tail where supported;
-    ``head_block`` the S-blocked training head (_head_conv)."""
+    ``head_block`` the S-blocked training head (_head_conv);
+    ``trunk_pack`` the W-pair-packed training trunk (UpscalerOrig)."""
     f = upscale_factor if upscale_factor is not None else 4
     common = dict(norm=cfg.norm, dtype=dtype, head_block=head_block)
     name = cfg.generator
     if name == "orig":
         return UpscalerOrig(cfg.kernel_size, cfg.filters, f, cfg.res_block_num,
-                            phase_tail=phase_tail, **common)
+                            phase_tail=phase_tail, trunk_pack=trunk_pack,
+                            **common)
     if name == "skip-con":
         return UpscalerSkipCon(cfg.kernel_size, cfg.filters, f, cfg.res_block_num,
                                phase_tail=phase_tail, **common)
