@@ -101,7 +101,7 @@ def main():
 
     # --- CycleGAN step (config 3/5 workload) at 256^2 --------------------
     cg = lambda: CycleGanResnetGenerator(dtype=jnp.bfloat16,
-                                     head_block=4, trunk_pack=True)
+                                         head_block=4)
     cd = lambda: PatchGanDiscriminator(dtype=jnp.bfloat16)
     a = jnp.asarray(np.random.default_rng(4).uniform(-1, 1, (2, 256, 256, 3)),
                     jnp.float32)
