@@ -44,7 +44,8 @@ def main():
     content = make_content_loss("vgg-only", vgg=vgg)
 
     gen = UpscalerAttention(kernel_size=5, filters=64, upscale_factor=4,
-                            res_block_num=16, dtype=jnp.bfloat16)
+                            res_block_num=16, dtype=jnp.bfloat16,
+                            head_block=4)  # trainers' S-blocked head
     disc = DiscriminatorSimple512(activation="log", dtype=jnp.bfloat16)
     bs = 2
     lr = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (bs, 128, 128, 3)),
