@@ -107,6 +107,21 @@ class FastOrigRunner:
             "stem_b": params["initial_conv"]["bias"],
             "stem_alpha": params["initial_prelu"]["alpha"],
         }
+        # blocked stem: the 3-channel input pads to 128 lanes in the
+        # conv's tiled layout, so the pixel 9x9 stem ran at ~0.8% MFU
+        # (1.70 ms/f at the x2 flagship — round-3 device trace).
+        # Folding s^2 pixels into lanes (space_to_depth + rearranged
+        # kernel, the head_block trick applied to the INPUT side) cuts
+        # the padded MXU work ~9x at s=4. Prepacked host-side.
+        self.stem_plan = None
+        for s_blk in (4, 2):
+            if h % s_blk == 0 and w % s_blk == 0:
+                wk_s, self.stem_plan = sp.prepack_same_phase_blocked(
+                    params["initial_conv"]["kernel"].astype(jnp.float32),
+                    1, s_blk)
+                qp["stem_w_b"] = wk_s.astype(dtype)
+                self.stem_block = s_blk
+                break
         self.pads: Dict[str, Tuple[int, int]] = {}
         # host-side f32 packed masters (quant mode): calibrate() refolds
         # per-channel activation scales into these and re-quantizes
@@ -785,7 +800,15 @@ class FastOrigRunner:
     # ------------------------------------------------------------- apply
     def apply_stem(self, qp: Dict[str, Any], x: jax.Array) -> jax.Array:
         n, h, w, _ = x.shape
-        y = vops.same_conv(x.astype(self.dtype), qp["stem_w"], qp["stem_b"])
+        if self.stem_plan is not None and "stem_w_b" in qp:
+            # blocked stem (see __init__): s^2 pixels folded into lanes
+            yb = sp.conv_same_phase_blocked_packed(
+                x.astype(self.dtype), qp["stem_w_b"], self.stem_plan,
+                qp["stem_b"])
+            y = sp.depth_to_space(yb, self.stem_block)
+        else:
+            y = vops.same_conv(x.astype(self.dtype), qp["stem_w"],
+                               qp["stem_b"])
         y = vops.prelu(y, qp["stem_alpha"])
         return y.reshape(n, h, w // self.pack, self.cp)  # packed
 
