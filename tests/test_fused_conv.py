@@ -411,3 +411,59 @@ def test_fast_orig_runner_grouped_stage1_bitexact(quant, factor,
         assert np.mean(np.abs(np.asarray(outs[True][1], np.int32)
                               - np.asarray(outs[False][1], np.int32))
                        ) < 1e-3  # u8 rounding flips only at ties
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+def test_fast_orig_runner_mixed_trunk(factor):
+    """quant='mix:<spec>' (per-unit mixed-precision trunk + tail8 tail):
+    the all-units mix is BIT-IDENTICAL to quant=True (same packing, same
+    calibration refolds), and a partial mix quantizes only the named
+    units and stays high-PSNR vs the reference model."""
+    from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
+    from video_cycle_gan_upscaling_tpu.models.fast_infer import (
+        FastOrigRunner,
+        parse_mix_spec,
+    )
+
+    assert parse_mix_spec("mix:last1", 2) == frozenset({2})
+    assert parse_mix_spec("mix:first2", 2) == frozenset({0, 1})
+    assert parse_mix_spec("mix:0,2", 2) == frozenset({0, 2})
+
+    model = UpscalerOrig(kernel_size=5, filters=8, upscale_factor=factor,
+                         res_block_num=2, dtype=jnp.float32, phase_tail=True)
+    x = _mk(jax.random.PRNGKey(8), (1, 12, 16, 3), 0.5)
+    variables = model.init(jax.random.PRNGKey(9), x)
+    ref = model.apply(variables, x)
+
+    pnorms.INTERPRET = True
+    try:
+        mk = lambda q: FastOrigRunner(
+            variables["params"], res_block_num=2, upscale_factor=factor,
+            tile_hw=(12, 16), quant=q, dtype=jnp.float32)
+        r_full = mk(True)
+        r_all = mk("mix:last3")  # 2 blocks + prefinal = every unit
+        assert r_all.trunk_qset == frozenset({0, 1, 2})
+        qp_full = r_full.calibrate(r_full.qp, x)
+        qp_all = r_all.calibrate(r_all.qp, x)
+        assert set(qp_full) == set(qp_all)
+        got_full = np.asarray(r_full.apply(qp_full, x), np.float32)
+        got_all = np.asarray(r_all.apply(qp_all, x), np.float32)
+        np.testing.assert_array_equal(got_all, got_full)
+
+        r_mix = mk("mix:last1")  # prefinal conv only
+        assert r_mix.quant and r_mix.head_quant and r_mix.tail_quant_ready
+        assert r_mix.qp["w_prefinal"].dtype == jnp.int8
+        assert r_mix.qp["w_post_0"].dtype != jnp.int8
+        assert r_mix.qp["w_pre_0"].dtype != jnp.int8
+        assert "qs_r_1" in r_mix.qp and "qs_a_0" not in r_mix.qp
+        qp_mix = r_mix.calibrate(r_mix.qp, x)
+        got = np.asarray(r_mix.apply(qp_mix, x), np.float32)
+    finally:
+        pnorms.INTERPRET = False
+    assert got.shape == ref.shape
+    mse = float(np.mean((got - np.asarray(ref, np.float32)) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
+    mse_f = float(np.mean((got_full - np.asarray(ref, np.float32)) ** 2))
+    psnr_full = 10 * np.log10(4.0 / max(mse_f, 1e-12))
+    # fewer quantized convs => at least as clean as the full-int8 trunk
+    assert psnr > 35.0 and psnr >= psnr_full - 1.0, (psnr, psnr_full)

@@ -56,6 +56,12 @@ def main(argv=None):
                    help="bf16 trunk + all-W8A8 tail (head included): "
                         "faster than --turbo-tail, quantizes the head "
                         "(orig generator only)")
+    p.add_argument("--turbo-mix", default=None, metavar="SPEC",
+                   help="all-W8A8 tail + MIXED-precision trunk: SPEC "
+                        "names the int8 trunk units, e.g. 'last11', "
+                        "'first8', or '3,4,16' (res blocks 0-15, 16 = "
+                        "prefinal conv; orig generator only — "
+                        "fast_infer.parse_mix_spec)")
     p.add_argument("--dp", type=int, default=None, metavar="N",
                    help="Data-parallel inference over the first N devices "
                         "(frames batch-sharded over a 1-D mesh, params "
@@ -97,11 +103,12 @@ def main(argv=None):
 
     apply_fn = lambda prm, x: model.apply({"params": prm}, x)
     apply_fn_u8 = None
-    if ((args.turbo or args.turbo_tail or args.turbo_tail8)
+    if ((args.turbo or args.turbo_tail or args.turbo_tail8 or args.turbo_mix)
             and cfg.model.generator != "orig"):
-        raise SystemExit("--turbo/--turbo-tail/--turbo-tail8 support the "
-                         "'orig' generator only")
+        raise SystemExit("--turbo/--turbo-tail/--turbo-tail8/--turbo-mix "
+                         "support the 'orig' generator only")
     quant_mode = (True if args.turbo else
+                  f"mix:{args.turbo_mix}" if args.turbo_mix else
                   "tail8" if args.turbo_tail8 else
                   "tail" if args.turbo_tail else False)
     if cfg.model.generator == "orig":

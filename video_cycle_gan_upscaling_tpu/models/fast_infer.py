@@ -53,6 +53,32 @@ from video_cycle_gan_upscaling_tpu.ops.quant import QSCALE
 RES_QSCALE = 127.0 / 16.0
 
 
+def parse_mix_spec(spec: str, res_block_num: int) -> frozenset:
+    """``"mix:<spec>"`` -> the set of int8 trunk UNITS for the
+    mixed-precision trunk. Unit i in [0, res_block_num) = res block i
+    (both of its convs, w_pre_i and w_post_i); unit res_block_num = the
+    prefinal conv. Accepted specs: ``lastK`` (the K units nearest the
+    output — prefinal first), ``firstK`` (units 0..K-1), or an explicit
+    comma list of unit indices (``mix:3,4,16``).
+
+    Rationale (docs/PERF.md round-3/4): quantization error energy is
+    ~linear in the number of int8 convs, so between tail8 (0 int8 trunk
+    units, 53.8 dB) and full int8 (all units, 44.6 dB) there is a
+    fps/quality frontier; the sweep (scripts/mix_trunk_sweep.py) picks
+    the fastest point that clears the budget gate."""
+    body = spec.split(":", 1)[1] if ":" in spec else spec[3:]
+    n_units = res_block_num + 1
+    if body.startswith("last"):
+        k = int(body[4:])
+        return frozenset(range(max(0, n_units - k), n_units))
+    if body.startswith("first"):
+        k = int(body[5:])
+        return frozenset(range(min(k, n_units)))
+    units = frozenset(int(t) for t in body.split(",") if t.strip())
+    assert all(0 <= u < n_units for u in units), (spec, n_units)
+    return units
+
+
 class FastOrigRunner:
     """Prepacked UpscalerOrig inference: runner = FastOrigRunner(params,...);
     y = jax.jit(runner.apply)(runner.qp, x). ``qp`` is a pure array pytree
@@ -73,13 +99,25 @@ class FastOrigRunner:
         True on both axes (the HR intermediate crosses HBM as int8 and
         the head runs at the int8 MXU rate, while the trunk — the
         dominant quantization-error source — stays bf16)."""
-        assert quant in (False, True, "tail", "tail8"), quant
+        is_mix = isinstance(quant, str) and quant.startswith("mix")
+        assert quant in (False, True, "tail", "tail8") or is_mix, quant
         self.stats_mode = stats_mode  # None -> fused_conv env default
         c = filters or params["initial_conv"]["kernel"].shape[-1]
         self.filters = c
         self.res_block_num = res_block_num
-        self.quant = quant is True          # trunk quantization
-        self.tail_quant = quant in (True, "tail", "tail8")
+        n_units = res_block_num + 1  # res blocks + the prefinal conv
+        if quant is True:
+            self.trunk_qset = frozenset(range(n_units))
+        elif is_mix:
+            # "mix:<spec>": the tail8 tail + a MIXED-precision trunk —
+            # the named units run W8A8, the rest bf16 (the fps/quality
+            # frontier between tail8 and full int8; docs/PERF.md
+            # round-4 candidate 1, sweep: scripts/mix_trunk_sweep.py)
+            self.trunk_qset = parse_mix_spec(quant, res_block_num)
+        else:
+            self.trunk_qset = frozenset()
+        self.quant = bool(self.trunk_qset)  # any trunk conv quantized
+        self.tail_quant = quant in (True, "tail", "tail8") or is_mix
         # "tail" (budget mode) runs a HYBRID tail: int8 up conv + bf16
         # head. Stage isolation (scripts/quant_decomp.py) puts ~65% of
         # the all-int8 tail's MSE in the head's input requant + weight
@@ -88,8 +126,7 @@ class FastOrigRunner:
         # (quant=True) keeps the all-int8 tail: its trunk error
         # dominates anyway and speed is its point; "tail8" keeps it too
         # but on the bf16 trunk.
-        self.head_quant = quant in (True, "tail8")
-        quant = self.quant
+        self.head_quant = quant in (True, "tail8") or is_mix
         self.dtype = dtype
         self.times = int(math.log2(upscale_factor))
         assert 2 ** self.times == upscale_factor
@@ -128,10 +165,11 @@ class FastOrigRunner:
         self._trunk_masters: Dict[str, Any] = {}
 
         def pack_w(tag, kern):
-            mat, pads = fc.pack_conv_kernel(kern, pack, quant=quant)
+            q = self._tag_quant(tag)
+            mat, pads = fc.pack_conv_kernel(kern, pack, quant=q)
             qp[tag] = mat
             self.pads[tag] = pads
-            if quant:
+            if q:
                 raw, _ = fc.pack_conv_kernel(kern, pack, raw=True)
                 self._trunk_masters[tag] = np.asarray(raw, np.float32)
 
@@ -147,11 +185,16 @@ class FastOrigRunner:
             qp[f"alpha_{i}"] = tile_c(blk["prelu"]["alpha"])
             qp[f"g2_{i}"] = blk["norm_post"]["scale"].astype(jnp.float32)
             qp[f"b2_{i}"] = blk["norm_post"]["bias"].astype(jnp.float32)
-            if quant:
-                # per-lane activation quant scales (calibrate() replaces
-                # the static defaults with measured per-channel values —
-                # same pytree structure, so no retrace)
+            # per-lane activation quant scales for the quantized convs
+            # (calibrate() replaces the static defaults with measured
+            # per-channel values — same pytree structure, so no retrace).
+            # qs_a_i feeds w_post_i; qs_r_i feeds the conv CONSUMING
+            # block i's output (w_pre_{i+1} / w_prefinal).
+            if self._tag_quant(f"w_post_{i}"):
                 qp[f"qs_a_{i}"] = jnp.full((self.cp,), QSCALE, jnp.float32)
+            nxt_tag = (f"w_pre_{i + 1}" if i + 1 < res_block_num
+                       else "w_prefinal")
+            if self._tag_quant(nxt_tag):
                 qp[f"qs_r_{i}"] = jnp.full((self.cp,), RES_QSCALE,
                                            jnp.float32)
         pack_w("w_prefinal", params["prefinal_conv"]["kernel"])
@@ -422,6 +465,16 @@ class FastOrigRunner:
             self.tail_quant_ready = True
         self.qp = qp
 
+    def _tag_quant(self, tag: str) -> bool:
+        """Does trunk conv ``tag`` (w_pre_i / w_post_i / w_prefinal) run
+        W8A8? Unit mapping: block i owns w_pre_i and w_post_i; the
+        prefinal conv is unit res_block_num (parse_mix_spec)."""
+        if not self.trunk_qset:
+            return False
+        if tag == "w_prefinal":
+            return self.res_block_num in self.trunk_qset
+        return int(tag.rsplit("_", 1)[1]) in self.trunk_qset
+
     # -------------------------------------------------------- calibration
     def calibrate(self, qp: Dict[str, Any], x: jax.Array) -> Dict[str, Any]:
         """Measure per-CHANNEL activation quant scales on a sample batch
@@ -450,6 +503,8 @@ class FastOrigRunner:
                                 if i + 1 < self.res_block_num
                                 else "w_prefinal")}
                 for kind, w_tag in tgt.items():
+                    if w_tag not in self._trunk_masters:
+                        continue  # bf16 conv in a mixed-precision trunk
                     tag = f"{kind}_{i}"
                     qs = 127.0 / np.maximum(
                         np.asarray(amaxes[tag], np.float32), 1e-6)
@@ -822,13 +877,12 @@ class FastOrigRunner:
         n, h, wp_, cp = h0.shape
         pack = self.pack
         hw = h * wp_ * pack
-        quant = self.quant
         amaxes: Dict[str, jax.Array] = {}
 
         def amax_of(z):
             return jnp.max(jnp.abs(z.astype(jnp.float32)), axis=(0, 1, 2))
 
-        if quant:
+        if self._tag_quant("w_pre_0"):
             # dynamic per-tensor scale for the (un-normalized) stem output
             sx = jnp.maximum(jnp.max(jnp.abs(h0.astype(jnp.float32))), 1e-8)
             s_row = jnp.broadcast_to((127.0 / sx) / RES_QSCALE, (n, cp))
@@ -851,11 +905,12 @@ class FastOrigRunner:
                      + t1[:, None, None, :])
                 z = jnp.where(z < 0, qp[f"alpha_{i}"] * z, z)
                 amaxes[f"qs_a_{i}"] = amax_of(z)
+            q_post = self._tag_quant(f"w_post_{i}")
             b_raw, st2 = fc.fused_conv_stats(
                 a, qp[f"w_post_{i}"], pads=self.pads[f"w_post_{i}"],
                 pre="affine_act", act="prelu", scale=s1, shift=t1,
-                alpha=qp[f"alpha_{i}"], quant=quant,
-                qscale=qp[f"qs_a_{i}"] if quant else QSCALE,
+                alpha=qp[f"alpha_{i}"], quant=q_post,
+                qscale=qp[f"qs_a_{i}"] if q_post else QSCALE,
                 stats_mode=self.stats_mode)
             s2, t2 = fc.stats_to_scale_shift(st2, qp[f"g2_{i}"],
                                              qp[f"b2_{i}"], pack, hw)
@@ -865,11 +920,12 @@ class FastOrigRunner:
                 z = (b_raw.astype(jnp.float32) * s2[:, None, None, :]
                      + t2[:, None, None, :] + hs.astype(jnp.float32))
                 amaxes[f"qs_r_{i}"] = amax_of(z)
+            q_nxt = self._tag_quant(nxt)
             a, hs, st = fc.fused_conv_stats(
                 b_raw, qp[nxt], pads=self.pads[nxt],
                 pre="affine_res", scale=s2, shift=t2, res=hs,
-                quant=quant,
-                qscale=qp[f"qs_r_{i}"] if quant else RES_QSCALE,
+                quant=q_nxt,
+                qscale=qp[f"qs_r_{i}"] if q_nxt else RES_QSCALE,
                 stats_mode=self.stats_mode)
 
         # prefinal norm apply + global skip (one fused pass)
