@@ -11,7 +11,12 @@ Protocol = bench.py's x4 secondary: calibrate on the demo frame
 streaming 16x8 uint8 clips, PSNR measured vs the bf16 runner.
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/mix_trunk_sweep.py \
-    [mix:last4 mix:last8 ...]   (defaults below)
+    [--factor 2] [mix:last4 mix:last8 ...]   (defaults below)
+
+--factor 2 runs the OFFICIAL headline geometry (540p->1080p): the x4
+sweep found the LAST blocks carry only ~15% of the full trunk's quant
+error (docs/PERF.md mixed-precision section), so a small last-K at x2
+may clear the gate where the linear-error estimate said none could.
 """
 
 import sys
@@ -29,8 +34,12 @@ from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
 from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
 from video_cycle_gan_upscaling_tpu.video.tiles import make_tiled_upscaler
 
-HW = (270, 480)
 FACTOR = 4
+if "--factor" in sys.argv:
+    i = sys.argv.index("--factor")
+    FACTOR = int(sys.argv[i + 1])
+    del sys.argv[i:i + 2]
+HW = (270, 480) if FACTOR == 4 else (540, 960)
 CLIP_CHUNKS, FRAME_BATCH = 16, 8
 N_ROUNDS = 4
 GATE_DB = 30.0 - 10 * np.log10(10 ** (0.1 / 10) - 1)  # 46.33
