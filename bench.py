@@ -8,9 +8,11 @@ north-star target is the baseline).
 
 The measured path is the fused-kernel inference runner
 (models/fast_infer.py): Pallas conv+instance-norm trunk + prepacked
-phase tail, W8A8 turbo trunk when it passes the quality gate (PSNR vs
-the bf16 path >= 35 dB; bf16 itself matches the modular model at ~50 dB
-— docs/PERF.md round 2). Tile geometry: one whole-frame tile — the
+phase tail; the headline is the fastest quantized mode that clears the
+quality gate DERIVED from the ≤0.1 dB end-to-end budget (see
+TURBO_PSNR_GATE below), evaluated on a held-out real frame. bf16
+itself matches the modular model at ~50 dB — docs/PERF.md round 2.
+Tile geometry: one whole-frame tile — the
 overlap sweep at flagship scale (docs/PERF.md) shows whole-frame is the
 quality/throughput operating point; the multi-tile path is exercised by
 tests and scripts/tile_sweep.py.
@@ -116,13 +118,20 @@ def bench_tiled_inference():
     variables = model.init(rng, jnp.zeros((1, *TILE_HW, 3), jnp.float32))
     params = variables["params"]
 
-    # four quality/speed product points: full bf16 (compliant by
+    # five quality/speed product points: full bf16 (compliant by
     # construction), bf16 trunk + hybrid W8A8 tail ("i8tail" — the trunk
     # dominates int8 error, docs/PERF.md round-3 isolation), bf16 trunk
-    # + all-W8A8 tail incl. head ("tail8"), and full W8A8 ("int8" turbo)
+    # + all-W8A8 tail incl. head ("tail8"), tail8 + a 3-unit int8 trunk
+    # ("mix" — the ×2 sweep found the prefinal conv, unit 16, carries
+    # ~3× the whole ×2 error budget because its output feeds the tail
+    # through the global residual add with no InstanceNorm after it;
+    # excluding it, units 13-15 fit the budget: 46.73 dB PASS at
+    # +1.35 fps, scripts/mix_trunk_sweep.py --factor 2), and full W8A8
+    # ("int8" turbo)
     runners = {}
     for tag, quant in (("bf16", False), ("i8tail", "tail"),
-                       ("tail8", "tail8"), ("int8", True)):
+                       ("tail8", "tail8"), ("mix", "mix:13,14,15"),
+                       ("int8", True)):
         r = FastOrigRunner(params, res_block_num=16, upscale_factor=FACTOR,
                            tile_hw=TILE_HW, quant=quant)
         runners[tag] = (r, jax.device_put(r.qp))
@@ -181,7 +190,7 @@ def bench_tiled_inference():
         return fps, up
 
     results = {}
-    for tag in ("int8", "tail8", "i8tail", "bf16"):
+    for tag in ("int8", "mix", "tail8", "i8tail", "bf16"):
         batch = FRAME_BATCH
         while batch >= 2:
             try:
@@ -203,7 +212,7 @@ def bench_tiled_inference():
     if "bf16" in results:
         out_b = jax.jit(results["bf16"][1])(runners["bf16"][1], frame)
         best = results["bf16"][0]
-        for tag in ("i8tail", "tail8", "int8"):
+        for tag in ("i8tail", "tail8", "mix", "int8"):
             if tag not in results:
                 continue
             out_q = jax.jit(results[tag][1])(runners[tag][1], frame)
