@@ -34,7 +34,8 @@ def main():
 
     log(f"devices: {jax.devices()}")
     gen = UpscalerOrig(kernel_size=5, filters=64, upscale_factor=4,
-                       res_block_num=16, dtype=jnp.bfloat16)
+                       res_block_num=16, dtype=jnp.bfloat16,
+                       head_block=4, trunk_pack=True)  # trainers' config
     disc = PatchGanDiscriminator(dtype=jnp.bfloat16)
     lr = jnp.zeros((8, 64, 64, 3), jnp.float32)
     hr = jnp.zeros((8, 256, 256, 3), jnp.float32)

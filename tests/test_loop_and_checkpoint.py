@@ -105,3 +105,31 @@ def test_checkpoint_gc(tmp_path):
     for s in (0, 1, 2, 3):
         ckpt.save(s, state)
     assert ckpt._steps() == [2, 3]
+
+
+def test_pipelined_loop_matches_sync(tmp_path):
+    """The pipelined metric fetch (default) logs the same rows, EWMAs,
+    and save decisions as the sync fetch-every-step loop — the one-step
+    lag changes WHEN metrics cross the link, not what is processed."""
+    import json
+
+    step = make_supervised_step(make_content_loss_per_example("mse"))
+    fields = ["batch", "loss", "agg_loss"]
+    outs = {}
+    for tag, sync in (("pipe", False), ("sync", True)):
+        d = tmp_path / tag
+        d.mkdir()
+        log = LossLog(str(d / "losses.txt"), fields)
+        progress = ProgressTracker(str(d / "progress.json"))
+        ckpt = CheckpointManager(str(d / "ckpt"))
+        state, last = run_training_loop(
+            step, _tiny_state(), itertools.repeat((LR, HR)), 7,
+            best_metric="loss", model_save_freq=3, loss_log=log,
+            progress=progress, ckpt=ckpt, sync_metrics=sync)
+        assert int(state.step) == 7
+        prog = json.load(open(d / "progress.json"))
+        outs[tag] = (open(d / "losses.txt").read(),
+                     ckpt.latest_step(),
+                     [m["batch"] for m in prog["saved_models"]],
+                     last["batch"])
+    assert outs["pipe"] == outs["sync"]
