@@ -5,14 +5,11 @@ and HBM traffic, from the device trace's per-op bytes/flops counters.
 Pair-packing them is analysis-negative (the 3-wide LR kernel packs at 2.0x
 structural taps, cancelling dgrad's <=2x lane win), so the question this
 probe answers for round 4 is whether the 3x gap to roofline is bandwidth
-(the stage-2 cotangents are [8,128,128,1024] per direction) or scheduling.
+(the stage-2 cotangents are [8,128,128,1024] bf16 = 268 MB per direction)
+or scheduling. Trace parsing goes through the shared, tested
+utils/profiling.device_op_table (pid/tid discovered from trace metadata;
+raises instead of printing an empty table — ADVICE r3 items 2-3).
 """
-
-import collections
-import glob
-import gzip
-import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +34,7 @@ def main():
         PatchGanDiscriminator, UpscalerOrig)
     from video_cycle_gan_upscaling_tpu.train import (
         create_gan_state, make_gan_step)
+    from video_cycle_gan_upscaling_tpu.utils.profiling import device_op_table
 
     log(f"devices: {jax.devices()}")
     gen = UpscalerOrig(kernel_size=5, filters=64, upscale_factor=4,
@@ -51,49 +49,34 @@ def main():
     state, m = step(state, lr, hr)
     float(m["loss_gan_total"])
 
+    iters = 3
     with jax.profiler.trace(TRACE_DIR):
-        for _ in range(3):
+        for _ in range(iters):
             state, m = step(state, lr, hr)
             float(m["loss_gan_total"])
 
-    path = sorted(glob.glob(
-        f"{TRACE_DIR}/plugins/profile/*/*.trace.json.gz"))[-1]
-    with gzip.open(path) as f:
-        d = json.load(f)
-    ev = [e for e in d.get("traceEvents", [])
-          if e.get("ph") == "X" and e.get("pid") == 3 and e.get("tid") == 3]
-    agg = collections.Counter()
-    args_of = {}
-    for e in ev:
-        agg[e["name"]] += e.get("dur", 0)
-        args_of.setdefault(e["name"], e.get("args", {}))
-
-    # one full arg dump so future probes know what counters exist
-    sample = next((a for n, a in args_of.items()
-                   if "subpixel" in str(a.get("source", ""))), None)
-    if sample is not None:
-        log("\n-- sample args of a subpixel-sourced op --")
-        for k, v in sorted(sample.items()):
-            log(f"  {k}: {str(v)[:120]}")
+    rows = device_op_table(TRACE_DIR, iters=iters)
 
     log("\n-- subpixel/up-conv ops: time vs flop vs byte rooflines --")
     tot_ms = tot_flop_ms = tot_byte_ms = 0.0
-    for name, us in agg.most_common():
-        a = args_of[name]
-        if "subpixel" not in str(a.get("source", "")):
+    matched = 0
+    for r in rows:
+        if "subpixel" not in str(r["source"]):
             continue
-        ms = us / 3e3
-        fl = float(a.get("model_flops", 0) or 0)
-        by = float(a.get("bytes_accessed", 0) or
-                   a.get("bytes accessed", 0) or 0)
-        t_fl = fl / PEAK_FLOPS * 1e3
-        t_by = by / PEAK_BW * 1e3
+        matched += 1
+        ms = r["ms"]
+        t_fl = r["model_flops"] / PEAK_FLOPS * 1e3
+        t_by = r["bytes_accessed"] / PEAK_BW * 1e3
         tot_ms += ms
         tot_flop_ms += t_fl
         tot_byte_ms += t_by
         bound = ("FLOP" if t_fl >= t_by else "BYTE") if (t_fl or t_by) else "?"
         log(f"{ms:8.2f} ms  flop-ideal {t_fl:6.2f}  byte-ideal {t_by:6.2f} "
-            f" [{bound}]  {name[:48]}")
+            f" [{bound}]  {r['name'][:48]}")
+    if not matched:
+        raise RuntimeError(
+            "no subpixel-sourced device ops in the trace — source "
+            "attribution changed? Inspect device_op_table(TRACE_DIR) rows.")
     log(f"\nsubpixel total: {tot_ms:.2f} ms measured vs "
         f"{tot_flop_ms:.2f} flop-ideal / {tot_byte_ms:.2f} byte-ideal "
         f"(max = the roofline)")

@@ -62,25 +62,53 @@ def test_dp_supervised_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
-def test_dp_gan_step_runs_sharded():
+def _gan_state_and_batch():
+    import optax
+
     lr = jax.random.uniform(KEY, (8, 8, 8, 3), minval=-1, maxval=1)
     hr = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3),
                             minval=-1, maxval=1)
     gen = UpscalerOrig(res_block_num=1, filters=8, kernel_size=3)
     disc = PatchGanDiscriminator(base_filters=8, n_layers=2)
-    state = create_gan_state(gen, disc, KEY, lr[:1], hr[:1])
+    # SGD, not Adam: post-step params then differ by exactly lr*grad, so
+    # the param comparison below is a direct GRADIENT-equality test. Adam
+    # normalizes by sqrt(v): params whose true gradient is structurally
+    # zero (e.g. D biases under the wasserstein pair loss, where
+    # d/db[mean(real)-mean(fake)] = 0) get sign(noise)*lr updates that
+    # can't agree across reduction orders.
+    state = create_gan_state(gen, disc, KEY, lr[:1], hr[:1],
+                             g_tx=optax.sgd(1e-2), d_tx=optax.sgd(1e-2))
+    return state, lr, hr
+
+
+def test_dp_gan_step_matches_single_device():
+    """DP == single-device for the fused GAN step (VERDICT r3 item 6):
+    both G and D post-step params (== gradients under SGD), not just
+    finite metrics."""
     step = make_gan_step(wasserstein_pair_losses(),
                          lambda t, p: pixel_mse(t, p),
                          adversarial_loss_weight=1e-4)
+
+    state, lr, hr = _gan_state_and_batch()
+    s1, m1 = step(state, lr, hr)
+
+    state2, _, _ = _gan_state_and_batch()
     mesh = make_mesh()
     dp_step = data_parallel_step(step, mesh, n_batch_args=2)
-    state = replicate(state, mesh)
-    state, m = dp_step(state, shard_batch(lr, mesh), shard_batch(hr, mesh))
-    assert np.isfinite(float(m["loss_disc"]))
-    assert np.isfinite(float(m["loss_gan_total"]))
+    state2 = replicate(state2, mesh)
+    s2, m2 = dp_step(state2, shard_batch(lr, mesh), shard_batch(hr, mesh))
+
+    for k in ("loss_disc", "loss_gan_total", "loss_gan_gen"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-4,
+                                   err_msg=k)
+    for net in ("g", "d"):
+        for a, b in zip(jax.tree_util.tree_leaves(getattr(s1, net).params),
+                        jax.tree_util.tree_leaves(getattr(s2, net).params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
     # second step re-uses the replicated output state without resharding
-    state, m = dp_step(state, shard_batch(lr, mesh), shard_batch(hr, mesh))
-    assert np.isfinite(float(m["loss_gan_total"]))
+    s2, m2 = dp_step(s2, shard_batch(lr, mesh), shard_batch(hr, mesh))
+    assert np.isfinite(float(m2["loss_gan_total"]))
 
 
 def test_dp_batch_actually_sharded():
@@ -93,7 +121,10 @@ def test_dp_batch_actually_sharded():
     assert shard.data.shape == (1, 4, 4, 3)
 
 
-def test_dp_cyclegan_step_runs_sharded():
+def test_dp_cyclegan_step_matches_single_device():
+    """DP == single-device for the fused CycleGAN step, INCLUDING the
+    replay-pool state evolution (VERDICT r3 item 6): pool contents and
+    fill level after two steps, all four nets' post-step params."""
     from video_cycle_gan_upscaling_tpu.losses import lsgan_pair_losses
     from video_cycle_gan_upscaling_tpu.models import CycleGanResnetGenerator
     from video_cycle_gan_upscaling_tpu.train import (
@@ -105,17 +136,43 @@ def test_dp_cyclegan_step_runs_sharded():
     b = jax.random.uniform(jax.random.PRNGKey(3), (8, 16, 16, 3), minval=-1, maxval=1)
     gen = lambda: CycleGanResnetGenerator(filters=8, res_block_num=1)
     disc = lambda: PatchGanDiscriminator(base_filters=8, n_layers=2)
-    state = create_cyclegan_state(gen(), gen(), disc(), disc(), KEY,
-                                  a[:1], b[:1], pool_size=4)
     step = make_cyclegan_step(lsgan_pair_losses())
+
+    def fresh_state():
+        import optax
+
+        # SGD: see _gan_state_and_batch — params compare as gradients
+        return create_cyclegan_state(gen(), gen(), disc(), disc(), KEY,
+                                     a[:1], b[:1], pool_size=4,
+                                     tx_factory=lambda: optax.sgd(1e-2))
+
+    # single-device: two steps (pool fills, then round-trips)
+    s1 = fresh_state()
+    s1, m1 = step(s1, a, b)
+    s1, m1 = step(s1, a, b)
+
     mesh = make_mesh()
     dp_step = data_parallel_step(step, mesh, n_batch_args=2)
-    state = replicate(state, mesh)
-    state, m = dp_step(state, shard_batch(a, mesh), shard_batch(b, mesh))
-    for k in ("loss_g_total", "loss_cycle", "loss_d_a"):
-        assert np.isfinite(float(m[k])), k
-    # replay pool filled to capacity, state stays replicated + consistent
-    assert int(state.pool_a.size) == 4
+    s2 = replicate(fresh_state(), mesh)
+    s2, m2 = dp_step(s2, shard_batch(a, mesh), shard_batch(b, mesh))
+    s2, m2 = dp_step(s2, shard_batch(a, mesh), shard_batch(b, mesh))
+
+    for k in ("loss_g_total", "loss_cycle", "loss_identity", "loss_d_a",
+              "loss_d_b"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-3,
+                                   err_msg=k)
+    # replay pools: same fill level AND same contents (the pool evolves
+    # from state.rng, so DP must reproduce it exactly up to fp noise)
+    assert int(s1.pool_a.size) == int(s2.pool_a.size) == 4
+    for pool in ("pool_a", "pool_b"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, pool).images),
+            np.asarray(getattr(s2, pool).images), atol=1e-4)
+    for net in ("g_ab", "g_ba", "d_a", "d_b"):
+        for x, y in zip(jax.tree_util.tree_leaves(getattr(s1, net).params),
+                        jax.tree_util.tree_leaves(getattr(s2, net).params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=5e-4)
 
 
 def test_dp_inference_matches_single_device():

@@ -71,7 +71,10 @@ def device_op_table(log_dir: str = "/tmp/vcgu_trace",
     carry device op events through the tunneled axon platform, so
     per-op attribution works where wall-clock ablation can't (see
     docs/PERF.md round-3 decompositions). Returns a list of dicts with
-    name / ms (per ``iters``) / hlo_category / model_flops / source.
+    name / ms (per ``iters``) / hlo_category / model_flops /
+    bytes_accessed / source. Raises RuntimeError when the trace holds no
+    device-op events (e.g. a CPU-only run) instead of returning an empty
+    table that reads as "0 ms everywhere".
     """
     import collections
     import glob
@@ -98,7 +101,7 @@ def device_op_table(log_dir: str = "/tmp/vcgu_trace",
             op_tids[e.get("pid")] = e.get("tid")
     agg: dict = collections.defaultdict(
         lambda: {"ms": 0.0, "hlo_category": "?", "model_flops": 0,
-                 "source": "?"})
+                 "bytes_accessed": 0, "source": "?"})
     for e in data.get("traceEvents", []):
         if (e.get("ph") == "X" and e.get("pid") in dev_pids
                 and e.get("tid") == op_tids.get(e.get("pid"))):
@@ -107,7 +110,14 @@ def device_op_table(log_dir: str = "/tmp/vcgu_trace",
             row["ms"] += e.get("dur", 0) / 1e3 / iters
             row["hlo_category"] = a.get("hlo_category", row["hlo_category"])
             row["model_flops"] = int(a.get("model_flops", 0) or 0)
+            row["bytes_accessed"] = int(
+                a.get("bytes_accessed", a.get("bytes accessed", 0)) or 0)
             row["source"] = a.get("source", row["source"])
+    if not agg:
+        raise RuntimeError(
+            f"trace {paths[-1]} contains no device-op events (device pids "
+            f"{sorted(dev_pids)}, op tids {op_tids}) — was the traced code "
+            f"actually dispatched to a device?")
     out = [{"name": k, **v} for k, v in agg.items()]
     out.sort(key=lambda r: -r["ms"])
     return out
