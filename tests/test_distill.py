@@ -1,0 +1,108 @@
+"""Student-trunk distillation machinery (train/distill.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
+from video_cycle_gan_upscaling_tpu.train import (
+    create_generator_state,
+    make_distill_step,
+    make_eval_psnr,
+    select_student_blocks,
+    student_params_from_teacher,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _model(blocks, **kw):
+    return UpscalerOrig(kernel_size=3, filters=8, upscale_factor=2,
+                        res_block_num=blocks, dtype=jnp.float32, **kw)
+
+
+def test_select_student_blocks():
+    assert select_student_blocks(16, 16) == tuple(range(16))
+    keep = select_student_blocks(16, 8)
+    assert len(keep) == 8 and keep[0] == 0 and keep[-1] == 15
+    assert all(a < b for a, b in zip(keep, keep[1:]))
+    assert select_student_blocks(4, 1) == (0,)
+
+
+def test_full_width_student_equals_teacher():
+    """K == n_teacher must reproduce the teacher bit-for-bit (the init is
+    a pure copy, so any divergence would be a renumbering bug)."""
+    teacher = _model(4)
+    x = jax.random.uniform(KEY, (1, 8, 10, 3), minval=-1, maxval=1)
+    tp = teacher.init(KEY, x)["params"]
+    sp = student_params_from_teacher(tp, 4)
+    t_out = teacher.apply({"params": tp}, x)
+    s_out = _model(4).apply({"params": sp}, x)
+    np.testing.assert_array_equal(np.asarray(t_out), np.asarray(s_out))
+
+
+def test_student_params_structure():
+    teacher = _model(4)
+    x = jnp.zeros((1, 8, 10, 3))
+    tp = teacher.init(KEY, x)["params"]
+    sp = student_params_from_teacher(tp, 2)
+    assert sorted(k for k in sp if k.startswith("res_block_")) == [
+        "res_block_0", "res_block_1"]
+    # student blocks are teacher blocks 0 and 3 (evenly spaced)
+    np.testing.assert_array_equal(
+        np.asarray(sp["res_block_1"]["conv_pre"]["kernel"]),
+        np.asarray(tp["res_block_3"]["conv_pre"]["kernel"]))
+    # the student tree drives the model directly
+    out = _model(2).apply({"params": sp}, x)
+    assert out.shape == (1, 16, 20, 3)
+
+
+def test_return_trunk_matches_default_output():
+    m = _model(2)
+    x = jax.random.uniform(KEY, (1, 8, 10, 3), minval=-1, maxval=1)
+    p = m.init(KEY, x)["params"]
+    out = m.apply({"params": p}, x)
+    out2, feat = m.apply({"params": p}, x, return_trunk=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    assert feat.shape == (1, 8, 10, 8)
+    # phase-tail graph agrees too
+    mp = _model(2, phase_tail=True)
+    out3, feat3 = mp.apply({"params": p}, x, return_trunk=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out3),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(feat), np.asarray(feat3))
+
+
+def test_distill_step_reduces_loss():
+    teacher = _model(4)
+    hw = (16, 16)
+    x = jnp.zeros((1, *hw, 3))
+    tp = teacher.init(KEY, x)["params"]
+    student = _model(2)
+    sp = student_params_from_teacher(tp, 2)
+    import optax
+
+    state = create_generator_state(student, KEY, x, tx=optax.adam(1e-3))
+    state = state.replace(params=sp)
+
+    teacher_fwd = lambda tp, x: teacher.apply({"params": tp}, x,
+                                              return_trunk=True)
+    step = make_distill_step(student, teacher_fwd, hw, batch=2, seed=1)
+    pool = jax.random.uniform(jax.random.PRNGKey(5), (3, *hw, 3),
+                              minval=-1, maxval=1)
+    state, m0 = step(state, tp, pool)
+    first = float(m0["loss"])
+    assert np.isfinite(first)
+    for _ in range(15):
+        state, m = step(state, tp, pool)
+    assert float(m["loss"]) < first
+    assert np.isfinite(float(m["psnr"]))
+
+
+def test_eval_psnr_perfect_match_is_large():
+    teacher = _model(3)
+    x = jax.random.uniform(KEY, (2, 8, 8, 3), minval=-1, maxval=1)
+    tp = teacher.init(KEY, x)["params"]
+    ev = make_eval_psnr(teacher, teacher)
+    psnr = float(ev(tp, tp, x))
+    assert psnr > 100  # identical params -> identical outputs

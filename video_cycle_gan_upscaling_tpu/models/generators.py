@@ -146,7 +146,11 @@ class UpscalerOrig(nn.Module):
     head_block: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_trunk: bool = False):
+        """``return_trunk=True`` additionally returns the post-global-skip
+        trunk feature (the tail input) — the feature-matching observable
+        for student distillation (train/distill.py). Param tree and the
+        default return are unchanged."""
         from video_cycle_gan_upscaling_tpu.models.blocks import (
             UpsamplingBlockPhase,
             _ConvParams,
@@ -187,13 +191,15 @@ class UpscalerOrig(nn.Module):
                      name="prefinal_conv")(y)
             y = _norm_residual(self, y, trunk_in, self.norm,
                                "prefinal_norm")
+        trunk_feat = y if return_trunk else None
         times = _upscale_times(self.upscale_factor)
         if not self.phase_tail:
             for i in range(times):
                 y = UpsamplingBlock(self.kernel_size, 256, self.dtype,
                                     name=f"upscale_{i}")(y)
             y = _head_conv(self, y)
-            return jnp.tanh(y.astype(jnp.float32))
+            out = jnp.tanh(y.astype(jnp.float32))
+            return (out, trunk_feat) if return_trunk else out
 
         r = 1
         c_in = self.filters
@@ -213,7 +219,8 @@ class UpscalerOrig(nn.Module):
                 break
         yp = sp.conv_same_phase_blocked(y, w9, b9, r, extra)
         yp = jnp.tanh(yp.astype(jnp.float32))
-        return sp.depth_to_space(yp, r * extra)
+        out = sp.depth_to_space(yp, r * extra)
+        return (out, trunk_feat) if return_trunk else out
 
 
 class UpscalerAttention(nn.Module):
