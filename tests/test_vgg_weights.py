@@ -99,6 +99,48 @@ def test_get_extractor_imagenet_tag(tmp_path, monkeypatch):
     assert y.shape[-1] == 512
 
 
+def test_manifest_matches_plan():
+    """The committed manifest (assets/vgg19_imagenet_manifest.json) must
+    agree with the in-code VGG19 plan: layer set, HWIO shapes chained
+    correctly, and the total trunk parameter count (20,024,384 — the
+    torchvision VGG19 features trunk up to block5_conv4)."""
+    conv = _load_converter()
+    man = conv.load_manifest()
+    plan = [x for x in vgg.VGG19_PLAN if x != "pool"]
+    assert set(man["layers"]) == {n for n, _ in plan}
+    cin, total = 3, 0
+    for name, ch in plan:
+        assert man["layers"][name]["kernel"] == [3, 3, cin, ch], name
+        assert man["layers"][name]["bias"] == [ch], name
+        total += 3 * 3 * cin * ch + ch
+        cin = ch
+    assert man["total_params_trunk"] == total == 20024384
+    assert set(conv.TORCH_TO_NAME.values()) == set(man["layers"])
+
+
+def test_converter_rejects_wrong_shapes(tmp_path):
+    """A source checkpoint whose layer shapes disagree with the manifest
+    must fail conversion (not silently write a broken .npz)."""
+    conv = _load_converter()
+    state = _fake_state_dict(conv)
+    state["features.0.weight"] = torch.zeros((65, 3, 3, 3))
+    state["features.0.bias"] = torch.zeros((65,))
+    src, dst = tmp_path / "w.pth", tmp_path / "w.npz"
+    torch.save(state, src)
+    with pytest.raises(ValueError):
+        conv.main(str(src), str(dst))
+
+
+def test_converted_npz_records_source_sha(tmp_path):
+    conv = _load_converter()
+    state = _fake_state_dict(conv)
+    src, dst = tmp_path / "w.pth", tmp_path / "w.npz"
+    torch.save(state, src)
+    conv.main(str(src), str(dst))
+    raw = np.load(dst)
+    assert len(str(raw["_source_sha256"])) == 64
+
+
 def test_load_rejects_wrong_shapes(tmp_path):
     bad = {f"{n}/kernel": np.zeros((3, 3, 3, 7), np.float32)
            for n, _ in [x for x in vgg.VGG19_PLAN if x != "pool"]}

@@ -79,17 +79,23 @@ def init_random_params(seed: int = 0, output_layer: str = "block5_conv4"):
 
 def load_imagenet_params(path: str):
     """Load VGG19 params from an .npz with keys '<layer>/kernel' (HWIO)
-    and '<layer>/bias'. Raises on missing layers."""
+    and '<layer>/bias' (scripts/convert_vgg19_weights.py output; the
+    converter validates every layer against the committed manifest
+    assets/vgg19_imagenet_manifest.json and records the source
+    checkpoint's sha256). Raises on missing layers or shape mismatches."""
     raw = np.load(path)
     params = {}
+    cin = 3
     for item in VGG19_PLAN:
         if item == "pool":
             continue
         name, ch = item
         k, b = raw[f"{name}/kernel"], raw[f"{name}/bias"]
-        if k.shape[-1] != ch:  # pragma: no cover - corrupt file guard
-            raise ValueError(f"{name}: expected {ch} filters, got {k.shape}")
+        if k.shape != (3, 3, cin, ch) or b.shape != (ch,):
+            raise ValueError(f"{name}: expected kernel (3,3,{cin},{ch}) / "
+                             f"bias ({ch},), got {k.shape} / {b.shape}")
         params[name] = {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}
+        cin = ch
     return params
 
 
