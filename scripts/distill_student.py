@@ -104,7 +104,13 @@ def main():
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--peak-lr", type=float, default=2e-4)
-    ap.add_argument("--feat-weight", type=float, default=0.05)
+    ap.add_argument("--feat-weight", type=float, default=0.1)
+    ap.add_argument("--hint-weight", type=float, default=0.5)
+    ap.add_argument("--qat", default=None, metavar="SPEC",
+                    help="fake-quant the named student trunk units during "
+                    "training (mix-spec over student units, e.g. 'last17' "
+                    "= all; scales frozen from an init-time calibration "
+                    "on the demo frame)")
     ap.add_argument("--eval-every", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None,
@@ -183,15 +189,38 @@ def main():
     if not args.measure_only:
         import optax
 
+        from video_cycle_gan_upscaling_tpu.models.fast_infer import (
+            parse_mix_spec,
+        )
+        from video_cycle_gan_upscaling_tpu.train.distill import (
+            make_walk_distill_step,
+            qat_calibrate,
+        )
+
         sched = optax.warmup_cosine_decay_schedule(
             0.0, args.peak_lr, min(100, args.steps // 10), args.steps,
             args.peak_lr * 0.02)
         tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
         state = TrainState.create(apply_fn=student.apply,
                                   params=jax.device_put(s_params), tx=tx)
-        step = make_distill_step(student, teacher_fwd, hw, batch=args.batch,
-                                 feat_weight=args.feat_weight,
-                                 seed=args.seed)
+        qset, scales = frozenset(), None
+        if args.qat:
+            qset = parse_mix_spec(f"mix:{args.qat}", args.blocks)
+            from PIL import Image
+
+            cal_img = Image.open(os.path.join(
+                DEMO, "input_480x270.png")).convert("RGB").resize(
+                    (hw[1], hw[0]), Image.BICUBIC)
+            cal = jnp.asarray(_to_unit(cal_img))[None]
+            scales = qat_calibrate(jax.device_put(s_params), cal,
+                                   args.blocks, qset)
+            log(f"QAT units {sorted(qset)} (scales frozen from demo-frame "
+                f"calibration)")
+        step = make_walk_distill_step(
+            args.blocks, args.teacher_blocks, f, hw, batch=args.batch,
+            qset=qset, scales=scales, hint_weight=args.hint_weight,
+            feat_weight=args.feat_weight, seed=args.seed)
+        t_params_d = jax.device_put(t_params)  # walker teacher (modular tree)
         pool_np, val_np = build_pools(hw)
         log(f"train pool {pool_np.shape}, val {val_np.shape}")
         # push as uint8 (codec-parity) — the tunnel's host->device link is
@@ -210,11 +239,12 @@ def main():
         pend = None
         t0 = time.perf_counter()
         for i in range(args.steps):
-            state, m = step(state, tqp, pool)
+            state, m = step(state, t_params_d, pool)
             if pend is not None and i % 50 == 0:
                 log(f"step {i:5d}  loss {float(pend['loss']):.3e}  "
                     f"out {float(pend['loss_out']):.3e}  "
                     f"feat {float(pend['loss_feat']):.3e}  "
+                    f"hint {float(pend.get('loss_hint', 0.0)):.3e}  "
                     f"psnr {float(pend['psnr']):.2f} dB  "
                     f"({(time.perf_counter() - t0):.0f}s)")
             pend = m

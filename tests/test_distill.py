@@ -106,3 +106,112 @@ def test_eval_psnr_perfect_match_is_large():
     ev = make_eval_psnr(teacher, teacher)
     psnr = float(ev(tp, tp, x))
     assert psnr > 100  # identical params -> identical outputs
+
+
+def test_trunk_tail_walk_matches_model_apply():
+    """trunk_walk + tail_walk must reproduce UpscalerOrig.apply
+    (pixel tail, S-blocked head) over the same params tree."""
+    from video_cycle_gan_upscaling_tpu.train.distill import (
+        tail_walk,
+        trunk_walk,
+    )
+
+    m = UpscalerOrig(kernel_size=3, filters=8, upscale_factor=2,
+                     res_block_num=3, dtype=jnp.float32, head_block=2)
+    x = jax.random.uniform(KEY, (2, 8, 12, 3), minval=-1, maxval=1)
+    p = m.init(KEY, x)["params"]
+    ref = m.apply({"params": p}, x)
+    trunk, streams = trunk_walk(p, x, 3, dtype=jnp.float32,
+                                collect_streams=True)
+    out = tail_walk(p, trunk, 2, dtype=jnp.float32, head_block=2)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               atol=1e-5)
+    assert len(streams) == 3
+    # streams differ from each other (they really are per-block taps)
+    assert float(jnp.mean((streams[0] - streams[2]) ** 2)) > 0
+
+
+def test_fake_quant_act_ste_and_values():
+    from video_cycle_gan_upscaling_tpu.train.distill import fake_quant_act
+
+    z = jnp.asarray([[-1.0, 0.01, 0.5], [2.0, -0.3, 0.26]], jnp.float32)
+    s = jnp.asarray([127.0, 127.0 / 2.0, 254.0], jnp.float32)
+    q = fake_quant_act(z, s)
+    ref = np.clip(np.round(np.asarray(z) * np.asarray(s)), -127, 127) \
+        / np.asarray(s)
+    np.testing.assert_allclose(np.asarray(q), ref, rtol=1e-6)
+    # identity STE: gradient of sum(fq) w.r.t. z is all-ones
+    g = jax.grad(lambda zz: jnp.sum(fake_quant_act(zz, s)))(z)
+    np.testing.assert_allclose(np.asarray(g), np.ones_like(ref))
+
+
+def test_fake_quant_kernel_scale_fold():
+    from video_cycle_gan_upscaling_tpu.train.distill import (
+        fake_quant_kernel,
+    )
+
+    w = jax.random.normal(KEY, (3, 3, 4, 8), jnp.float32) * 0.1
+    s_in = jnp.asarray([1.0, 2.0, 4.0, 8.0]) * 127.0
+    qw = fake_quant_kernel(w, s_in)
+    assert qw.shape == w.shape
+    # error bounded by one rounding step of the folded grid per entry
+    wf = np.asarray(w) / np.asarray(s_in)[None, None, :, None]
+    amax = np.abs(wf).max(axis=(0, 1, 2))
+    step = amax / 127.0
+    err = np.abs(np.asarray(qw) - np.asarray(w))
+    bound = (step[None, None, None, :] * np.asarray(s_in)[None, None, :, None])
+    assert (err <= 0.5 * bound + 1e-7).all()
+    g = jax.grad(lambda ww: jnp.sum(fake_quant_kernel(ww, s_in)))(w)
+    np.testing.assert_allclose(np.asarray(g), np.ones_like(np.asarray(w)))
+
+
+def test_qat_walk_with_scales_runs_and_differs():
+    from video_cycle_gan_upscaling_tpu.train.distill import (
+        qat_calibrate,
+        trunk_walk,
+    )
+
+    m = UpscalerOrig(kernel_size=3, filters=8, upscale_factor=2,
+                     res_block_num=2, dtype=jnp.float32)
+    x = jax.random.uniform(KEY, (1, 8, 8, 3), minval=-1, maxval=1)
+    p = m.init(KEY, x)["params"]
+    qset = frozenset(range(3))  # both blocks + prefinal
+    scales = qat_calibrate(p, x, 2, qset, dtype=jnp.float32)
+    assert set(scales) == {"pre_0", "post_0", "pre_1", "post_1",
+                           "prefinal"}
+    t_bf, _ = trunk_walk(p, x, 2, dtype=jnp.float32)
+    t_q, _ = trunk_walk(p, x, 2, dtype=jnp.float32, qset=qset,
+                        scales=scales)
+    d = float(jnp.mean((t_bf - t_q) ** 2))
+    assert 0 < d < 1e-2  # quantized differs, but is a small perturbation
+
+
+def test_walk_distill_step_reduces_loss():
+    import optax
+
+    from video_cycle_gan_upscaling_tpu.train.distill import (
+        make_walk_distill_step,
+    )
+    from video_cycle_gan_upscaling_tpu.train.state import TrainState
+
+    hw = (16, 16)
+    teacher = _model(4)
+    x = jnp.zeros((1, *hw, 3))
+    tp = teacher.init(KEY, x)["params"]
+    sp = student_params_from_teacher(tp, 2)
+    student = _model(2)
+    state = TrainState.create(apply_fn=student.apply, params=sp,
+                              tx=optax.adam(1e-3))
+    step = make_walk_distill_step(2, 4, 2, hw, batch=2,
+                                  dtype=jnp.float32, head_block=2, seed=3)
+    pool = jax.random.uniform(jax.random.PRNGKey(5), (3, *hw, 3),
+                              minval=-1, maxval=1)
+    hist = []
+    for _ in range(16):
+        state, m = step(state, tp, pool)
+        hist.append(float(m["loss"]))
+    # per-step batches are freshly augmented -> noisy; compare windows
+    assert np.all(np.isfinite(hist))
+    assert np.mean(hist[-4:]) < np.mean(hist[1:5])
+    for k in ("loss_out", "loss_feat", "loss_hint"):
+        assert np.isfinite(float(m[k])), k

@@ -83,8 +83,13 @@ def main(argv=None):
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+    # fastest valid modular graph per family: phase_tail where the family
+    # supports it (orig, skip-con — make_generator drops it otherwise) and
+    # the S-blocked head everywhere (the 3-output-lane final conv at HR
+    # runs at ~0.8-3% MFU; head_block=4 lifts it to 48 lanes — same
+    # params, same map; scripts/family_fps_sweep.py table in docs/PERF.md)
     model = make_generator(cfg.model, cfg.train.downscale_factor, dtype=dtype,
-                           phase_tail=True)
+                           phase_tail=True, head_block=4)
 
     ckpt_dir = args.checkpoint_dir or cfg.run_dirs()["models"]
     ckpt = CheckpointManager(ckpt_dir)

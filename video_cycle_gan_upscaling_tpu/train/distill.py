@@ -163,6 +163,227 @@ def make_distill_step(student_model, teacher_forward,
     return step
 
 
+# --------------------------------------------------------------------------
+# Pure-function trunk walker: the UpscalerOrig forward expressed directly
+# over a standard params tree, exposing (a) the residual stream after every
+# block — dense per-block "hint" supervision for depth distillation
+# (FitNets-style: student block j is trained to absorb its dropped
+# neighbours' contribution locally instead of chasing a 10-conv-deep
+# output signal), and (b) straight-through fake-quantization mirroring the
+# fused runner's W8A8 semantics (per-channel activation scales folded into
+# per-out-channel int8 weights; InstanceNorm absorbs the overall scale —
+# ops/quant.py invariance) for quantization-aware fine-tuning.
+# Numerics match models/blocks.py exactly: same vops conv, same fused
+# Pallas instance-norm kernels (which carry custom VJPs for training).
+# --------------------------------------------------------------------------
+
+
+def fake_quant_act(z: jax.Array, s: jax.Array) -> jax.Array:
+    """Per-channel symmetric int8 fake-quant with identity STE.
+    ``s`` [C] = 127/amax from calibration (frozen during QAT)."""
+    zf = z.astype(jnp.float32)
+    q = jnp.clip(jnp.round(zf * s), -127.0, 127.0) / s
+    return (zf + jax.lax.stop_gradient(q - zf)).astype(z.dtype)
+
+
+def fake_quant_kernel(w: jax.Array, s_in: jax.Array) -> jax.Array:
+    """Weight fake-quant mirroring fused_conv.quantize_packed_kernel: the
+    input-channel activation scales fold into the kernel's input axis,
+    then per-OUT-channel symmetric int8; dequantized back, identity STE.
+    ``w`` HWIO, ``s_in`` [C_in]."""
+    wf = w.astype(jnp.float32) / s_in[None, None, :, None]
+    amax = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2), keepdims=True),
+                       1e-8)
+    sw = 127.0 / amax
+    qw = (jnp.clip(jnp.round(wf * sw), -127.0, 127.0) / sw
+          ) * s_in[None, None, :, None]
+    return (w + jax.lax.stop_gradient(qw.astype(w.dtype) - w))
+
+
+def trunk_walk(params: dict, x: jax.Array, n_blocks: int, *,
+               dtype=jnp.bfloat16, qset: frozenset = frozenset(),
+               scales: dict | None = None, collect_streams: bool = False,
+               collect_amax: bool = False):
+    """UpscalerOrig stem+trunk from a standard params tree.
+
+    Returns (trunk_out, aux): aux is the per-block residual-stream list
+    (``collect_streams``), the per-conv-input abs-max dict
+    (``collect_amax`` — the QAT calibration observables, mirroring
+    FastOrigRunner.apply_trunk's), or None. ``qset`` follows
+    fast_infer.parse_mix_spec unit numbering (block i = both its convs,
+    unit n_blocks = the prefinal conv); quantized convs need ``scales``
+    entries (from ``qat_calibrate``)."""
+    from video_cycle_gan_upscaling_tpu.ops import nn as vops
+    from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
+
+    def conv(tag, z, kern, bias, unit):
+        if unit in qset:
+            z = fake_quant_act(z, scales[tag])
+            kern = fake_quant_kernel(kern, scales[tag])
+        return vops.same_conv(z.astype(dtype), kern.astype(dtype), bias)
+
+    amaxes: dict = {}
+
+    def note(tag, z):
+        if collect_amax:
+            amaxes[tag] = jnp.max(jnp.abs(z.astype(jnp.float32)),
+                                  axis=tuple(range(z.ndim - 1)))
+
+    x = x.astype(dtype)
+    h = vops.same_conv(x, params["initial_conv"]["kernel"].astype(dtype),
+                       params["initial_conv"]["bias"])
+    h = vops.prelu(h, params["initial_prelu"]["alpha"])
+    h0 = h
+    streams = []
+    for i in range(n_blocks):
+        blk = params[f"res_block_{i}"]
+        note(f"pre_{i}", h)
+        a = conv(f"pre_{i}", h, blk["conv_pre"]["kernel"],
+                 blk["conv_pre"]["bias"], i)
+        a = pnorms.instance_norm_act(a, blk["norm_pre"]["scale"],
+                                     blk["norm_pre"]["bias"],
+                                     blk["prelu"]["alpha"], "prelu")
+        note(f"post_{i}", a)
+        b = conv(f"post_{i}", a, blk["conv_post"]["kernel"],
+                 blk["conv_post"]["bias"], i)
+        h = pnorms.instance_norm_residual(b, blk["norm_post"]["scale"],
+                                          blk["norm_post"]["bias"], h)
+        if collect_streams:
+            streams.append(h)
+    note("prefinal", h)
+    p = conv("prefinal", h, params["prefinal_conv"]["kernel"],
+             params["prefinal_conv"]["bias"], n_blocks)
+    trunk = pnorms.instance_norm_residual(p, params["prefinal_norm"]["scale"],
+                                          params["prefinal_norm"]["bias"], h0)
+    if collect_streams:
+        return trunk, streams
+    if collect_amax:
+        return trunk, amaxes
+    return trunk, None
+
+
+def tail_walk(params: dict, trunk: jax.Array, upscale_factor: int, *,
+              dtype=jnp.bfloat16, head_block: int = 4) -> jax.Array:
+    """Pixel tail over the standard params tree (transpose convs as the
+    subpixel d2s rewrite + the S-blocked head), matching
+    UpscalerOrig(phase_tail=False, head_block=...)."""
+    import math
+
+    from video_cycle_gan_upscaling_tpu.ops import nn as vops
+    from video_cycle_gan_upscaling_tpu.ops import subpixel as sp
+
+    y = trunk
+    for i in range(int(math.log2(upscale_factor))):
+        up = params[f"upscale_{i}"]["conv_transp"]
+        y = sp.conv_transpose_d2s(y.astype(dtype),
+                                  up["kernel"].astype(dtype), up["bias"],
+                                  stride=2)
+        y = vops.leaky_relu(y, 0.2)
+    w9 = params["final_conv"]["kernel"].astype(dtype)
+    b9 = params["final_conv"]["bias"]
+    hb = head_block
+    while hb > 1 and (y.shape[1] % hb or y.shape[2] % hb):
+        hb //= 2
+    if hb > 1:
+        yp = sp.conv_same_phase_blocked(y, w9, b9, 1, hb)
+        yp = jnp.tanh(yp.astype(jnp.float32))
+        return sp.depth_to_space(yp, hb)
+    return jnp.tanh(vops.same_conv(y, w9, b9).astype(jnp.float32))
+
+
+def qat_calibrate(params: dict, x: jax.Array, n_blocks: int,
+                  qset: frozenset, dtype=jnp.bfloat16) -> dict:
+    """Per-channel activation quant scales (127/abs-max) for every
+    fake-quantized conv input, measured on a calibration batch at the
+    CURRENT params — frozen during QAT (the runner's calibrate()
+    recomputes its own from the trained weights at deploy time; the
+    residual drift only moves rounding-grid granularity)."""
+    _, amaxes = jax.jit(
+        lambda p, xx: trunk_walk(p, xx, n_blocks, dtype=dtype,
+                                 collect_amax=True))(params, x)
+    tags = []
+    for i in range(n_blocks):
+        if i in qset:
+            tags += [f"pre_{i}", f"post_{i}"]
+    if n_blocks in qset:
+        tags.append("prefinal")
+    return {t: 127.0 / jnp.maximum(
+        jnp.asarray(amaxes[t], jnp.float32), 1e-6) for t in tags}
+
+
+def make_walk_distill_step(n_student: int, n_teacher: int,
+                           upscale_factor: int, frame_hw: Tuple[int, int],
+                           batch: int, *, qset: frozenset = frozenset(),
+                           scales: dict | None = None,
+                           hint_weight: float = 0.5,
+                           feat_weight: float = 0.1,
+                           dtype=jnp.bfloat16, head_block: int = 4,
+                           seed: int = 0) -> Callable:
+    """Walker-based distillation/QAT update (one dispatch).
+
+    Supervision at three depths, all against the teacher's walker forward
+    (one teacher trunk evaluation serves all of them):
+    - out:  MSE of final images;
+    - feat: relative MSE of the post-global-skip trunk features;
+    - hint: mean over student blocks j of the relative MSE between the
+      student's residual stream after block j and the teacher's stream
+      after source block keep[j] (select_student_blocks) — the dense
+      local signal that makes depth compression trainable (the pure
+      output loss moved ~+3 dB/1k steps from a 19 dB init in the first
+      x2 K=8 run; hints give every block its own target).
+    Relative = normalized by stop_grad(mean(target^2)): the stream grows
+    ~sqrt(depth), absolute MSEs would overweight late blocks.
+
+    For QAT pass ``qset``/``scales`` (qat_calibrate) — with
+    n_student == n_teacher and init == teacher params this fine-tunes the
+    int8 path against the bf16 teacher from an exact-match init.
+    """
+    keep = select_student_blocks(n_teacher, n_student)
+    augment = make_augment_batch(frame_hw)
+    base_key = jax.random.PRNGKey(seed)
+
+    def rel_mse(a, b):
+        b = b.astype(jnp.float32)
+        num = jnp.mean((a.astype(jnp.float32) - b) ** 2)
+        return num / (jax.lax.stop_gradient(jnp.mean(b ** 2)) + 1e-8)
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state, teacher_params, pool):
+        key = jax.random.fold_in(base_key, state.step)
+        x = augment(key, pool, batch)
+        t_trunk, t_streams = trunk_walk(teacher_params, x, n_teacher,
+                                        dtype=dtype, collect_streams=True)
+        t_out = tail_walk(teacher_params, t_trunk, upscale_factor,
+                          dtype=dtype, head_block=head_block)
+        t_out = jax.lax.stop_gradient(t_out)
+        t_trunk = jax.lax.stop_gradient(t_trunk)
+        t_hints = [jax.lax.stop_gradient(t_streams[k]) for k in keep]
+
+        def loss_fn(params):
+            s_trunk, s_streams = trunk_walk(params, x, n_student,
+                                            dtype=dtype, qset=qset,
+                                            scales=scales,
+                                            collect_streams=True)
+            s_out = tail_walk(params, s_trunk, upscale_factor, dtype=dtype,
+                              head_block=head_block)
+            l_out = jnp.mean((s_out - t_out) ** 2)
+            l_feat = rel_mse(s_trunk, t_trunk)
+            l_hint = sum(rel_mse(s, t)
+                         for s, t in zip(s_streams, t_hints)) / n_student
+            total = (l_out + feat_weight * l_feat + hint_weight * l_hint)
+            return total, (l_out, l_feat, l_hint)
+
+        (loss, (l_out, l_feat, l_hint)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        psnr = 10.0 * jnp.log10(4.0 / jnp.maximum(l_out, 1e-12))
+        return new_state, {"loss": loss, "loss_out": l_out,
+                           "loss_feat": l_feat, "loss_hint": l_hint,
+                           "psnr": psnr}
+
+    return step
+
+
 def make_eval_psnr(student_forward, teacher_forward) -> Callable:
     """jitted (student_params, teacher_params, frames[B,H,W,3]) ->
     mean per-frame PSNR (dB) of student vs teacher outputs. Both sides
