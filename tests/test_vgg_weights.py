@@ -150,3 +150,30 @@ def test_load_rejects_wrong_shapes(tmp_path):
     np.savez(p, **bad)
     with pytest.raises(ValueError):
         vgg.load_imagenet_params(str(p))
+
+
+def test_stem_block_equivalence_and_grad():
+    """stem_block evaluates block1_conv1 as an S-blocked phase conv —
+    same params, same map (within fp tolerance), and differentiable (it
+    sits inside training perceptual-loss graphs)."""
+    params = vgg.init_random_params(seed=3, output_layer="block1_conv2")
+    x = np.random.default_rng(2).uniform(-1, 1, (2, 8, 12, 3)
+                                         ).astype(np.float32)
+    plain = vgg.VGGExtractor(params, output_layer="block1_conv2")
+    blocked = vgg.VGGExtractor(params, output_layer="block1_conv2",
+                               stem_block=2)
+    y0 = np.asarray(plain(jnp.asarray(x)))
+    y1 = np.asarray(blocked(jnp.asarray(x)))
+    np.testing.assert_allclose(y0, y1, atol=2e-5)
+
+    g = jax.grad(lambda z: jnp.sum(blocked(z) ** 2))(jnp.asarray(x))
+    assert np.isfinite(np.asarray(g)).all()
+    g0 = jax.grad(lambda z: jnp.sum(plain(z) ** 2))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g0), atol=2e-4)
+
+
+def test_stem_block_falls_back_on_odd_dims():
+    params = vgg.init_random_params(seed=3, output_layer="block1_conv1")
+    ex = vgg.VGGExtractor(params, output_layer="block1_conv1", stem_block=4)
+    y = ex(jnp.zeros((1, 7, 9, 3)))  # 7x9: no block divides -> plain conv
+    assert y.shape == (1, 7, 9, 64)

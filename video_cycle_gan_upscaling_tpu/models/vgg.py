@@ -36,10 +36,19 @@ VGG19_PLAN: Tuple = (
 
 class VGG19Features(nn.Module):
     """VGG19 trunk, NHWC, truncated at ``output_layer`` (default
-    block5_conv4, model.py:113 parity)."""
+    block5_conv4, model.py:113 parity).
+
+    ``stem_block`` > 1 evaluates block1_conv1 — the 3-input-channel conv
+    that pads to 128 MXU lanes — as an S-blocked phase conv (s^2 pixels
+    folded into lanes, the same trick as the generators' blocked head/
+    stem; ops/subpixel.conv_same_phase_blocked is einsum-prepacked and
+    differentiable, so it serves training-loss graphs). Same params,
+    same map; falls back to the plain conv when the dims don't divide.
+    """
 
     output_layer: str = "block5_conv4"
     dtype: jnp.dtype = jnp.float32
+    stem_block: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -49,8 +58,23 @@ class VGG19Features(nn.Module):
                 y = nn.max_pool(y, (2, 2), strides=(2, 2))
                 continue
             name, ch = item
-            y = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
-                        param_dtype=jnp.float32, name=name)(y)
+            sb = self.stem_block if name == "block1_conv1" else 1
+            while sb > 1 and (y.shape[1] % sb or y.shape[2] % sb):
+                sb //= 2
+            if sb > 1:
+                from video_cycle_gan_upscaling_tpu.models.blocks import (
+                    _ConvParams,
+                )
+                from video_cycle_gan_upscaling_tpu.ops import subpixel as sp
+
+                w, b = _ConvParams(3, y.shape[-1], ch, name=name,
+                                   parent=self)()
+                yp = sp.conv_same_phase_blocked(y, w.astype(self.dtype), b,
+                                                1, sb)
+                y = sp.depth_to_space(yp, sb)
+            else:
+                y = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+                            param_dtype=jnp.float32, name=name)(y)
             y = jax.nn.relu(y)
             if name == self.output_layer:
                 return y
@@ -61,8 +85,10 @@ class VGGExtractor:
     """Frozen feature extractor: module + params + jitted apply."""
 
     def __init__(self, params, output_layer: str = "block5_conv4",
-                 dtype=jnp.float32, source: str = "random"):
-        self.module = VGG19Features(output_layer=output_layer, dtype=dtype)
+                 dtype=jnp.float32, source: str = "random",
+                 stem_block: int = 1):
+        self.module = VGG19Features(output_layer=output_layer, dtype=dtype,
+                                    stem_block=stem_block)
         self.params = params
         self.source = source  # 'imagenet' | 'random'
 
@@ -100,10 +126,13 @@ def load_imagenet_params(path: str):
 
 
 def get_extractor(weights_path: Optional[str] = None, seed: int = 0,
-                  output_layer: str = "block5_conv4", dtype=jnp.float32) -> VGGExtractor:
+                  output_layer: str = "block5_conv4", dtype=jnp.float32,
+                  stem_block: int = 1) -> VGGExtractor:
     """Build the frozen extractor; ImageNet weights if available, else the
     documented seeded-random fallback."""
     path = weights_path or os.environ.get("VCGU_VGG19_WEIGHTS")
     if path and os.path.exists(path):
-        return VGGExtractor(load_imagenet_params(path), output_layer, dtype, "imagenet")
-    return VGGExtractor(init_random_params(seed, output_layer), output_layer, dtype, "random")
+        return VGGExtractor(load_imagenet_params(path), output_layer, dtype,
+                            "imagenet", stem_block)
+    return VGGExtractor(init_random_params(seed, output_layer), output_layer,
+                        dtype, "random", stem_block)
