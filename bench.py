@@ -107,16 +107,34 @@ def _real_frame_540p(name="input_480x270.png"):
             -1, 1, (*FRAME_HW, 3)), jnp.float32)
 
 
-def bench_tiled_inference():
+def _bench_params(factor, tile_hw):
+    """Flagship params for the bench model: the committed TRAINED
+    checkpoint (docs/demo/generator_params.msgpack — 3001 on-chip GAN
+    steps on real ukiyo frames; utils/demo_assets.py) so the quality
+    gates measure quantization error on trained weight statistics.
+    Falls back to the historical PRNGKey(0) random init if absent."""
     from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
+    from video_cycle_gan_upscaling_tpu.utils.demo_assets import (
+        load_demo_generator_params,
+    )
+
+    params = load_demo_generator_params(factor)
+    if params is not None:
+        log(f"bench model: TRAINED demo checkpoint (x{factor})")
+        return params
+    log("bench model: demo checkpoint missing — random init fallback")
+    model = UpscalerOrig(kernel_size=5, filters=64, upscale_factor=factor,
+                         res_block_num=16, dtype=jnp.bfloat16,
+                         phase_tail=True)
+    return model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, *tile_hw, 3), jnp.float32))["params"]
+
+
+def bench_tiled_inference():
     from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
     from video_cycle_gan_upscaling_tpu.video.tiles import make_tiled_upscaler
 
-    model = UpscalerOrig(kernel_size=5, filters=64, upscale_factor=FACTOR,
-                         res_block_num=16, dtype=jnp.bfloat16, phase_tail=True)
-    rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, *TILE_HW, 3), jnp.float32))
-    params = variables["params"]
+    params = _bench_params(FACTOR, TILE_HW)
 
     # five quality/speed product points: full bf16 (compliant by
     # construction), bf16 trunk + hybrid W8A8 tail ("i8tail" — the trunk
@@ -239,16 +257,11 @@ def bench_x4_inference():
     (real-frame calibration, held-out quality gate, streaming uint8
     clips); reports the fastest budget-compliant mode. Numbers ledgered
     in docs/PERF.md (round-3 ×4 section)."""
-    from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
     from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
     from video_cycle_gan_upscaling_tpu.video.tiles import make_tiled_upscaler
 
     hw = (270, 480)
-    model = UpscalerOrig(kernel_size=5, filters=64, upscale_factor=4,
-                         res_block_num=16, dtype=jnp.bfloat16,
-                         phase_tail=True)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, *hw, 3), jnp.float32))["params"]
+    params = _bench_params(4, hw)
 
     def _frame(name, interp):
         from PIL import Image

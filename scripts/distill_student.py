@@ -126,6 +126,9 @@ def main():
     ap.add_argument("--teacher-blocks", type=int, default=16)
     ap.add_argument("--kernel-size", type=int, default=5)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--random-teacher", action="store_true",
+                    help="PRNGKey(0) random teacher instead of the "
+                    "committed trained demo checkpoint")
     ap.add_argument("--modular-teacher", action="store_true",
                     help="teacher targets from the modular flax apply "
                     "instead of the fused runner (CPU smoke: the runner's "
@@ -155,13 +158,28 @@ def main():
     log(f"devices: {jax.devices()}  geometry {hw} x{f} "
         f"student K={args.blocks}")
 
-    # --- teacher: the exact bench init ----------------------------------
+    # --- teacher: the exact bench model ---------------------------------
+    # default = the committed TRAINED demo checkpoint (what bench.py now
+    # measures; utils/demo_assets.py); random init for CPU smokes and
+    # ablations
     teacher = UpscalerOrig(kernel_size=args.kernel_size,
                            filters=args.filters, upscale_factor=f,
                            res_block_num=args.teacher_blocks,
                            dtype=jnp.bfloat16, phase_tail=True)
-    t_params = teacher.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, *hw, 3), jnp.float32))["params"]
+    t_params = None
+    if not args.random_teacher and args.hw is None and args.filters == 64 \
+            and args.teacher_blocks == 16 and args.kernel_size == 5:
+        from video_cycle_gan_upscaling_tpu.utils.demo_assets import (
+            load_demo_generator_params,
+        )
+
+        t_params = load_demo_generator_params(f)
+        if t_params is not None:
+            log("teacher: TRAINED demo checkpoint")
+    if t_params is None:
+        log("teacher: PRNGKey(0) random init")
+        t_params = teacher.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, *hw, 3), jnp.float32))["params"]
     t_runner = FastOrigRunner(t_params, res_block_num=args.teacher_blocks,
                               upscale_factor=f, tile_hw=hw, quant=False)
     if args.modular_teacher:

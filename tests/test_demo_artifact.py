@@ -61,3 +61,26 @@ def test_demo_metrics_recorded():
     # reproduction is exact up to JPEG
     assert m["psnr_our_bicubic_vs_ref_stored_bicubic"] > 40.0
     assert m["steps"] >= 3000
+
+
+def test_demo_generator_params_loadable_both_factors():
+    """The committed trained checkpoint drives the flagship model at x4
+    and its x2 subset (upscale_1 dropped) — the bench teacher paths
+    (utils/demo_assets.py)."""
+    import jax.numpy as jnp
+
+    from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
+    from video_cycle_gan_upscaling_tpu.utils.demo_assets import (
+        load_demo_generator_params,
+    )
+
+    p4 = load_demo_generator_params(4)
+    assert p4 is not None and "upscale_1" in p4
+    p2 = load_demo_generator_params(2)
+    assert "upscale_1" not in p2 and "upscale_0" in p2
+    x = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    m2 = UpscalerOrig(kernel_size=5, filters=64, upscale_factor=2,
+                      res_block_num=16, dtype=jnp.float32)
+    out = m2.apply({"params": p2}, x)
+    assert out.shape == (1, 16, 16, 3)
+    assert load_demo_generator_params(8) is None
