@@ -106,6 +106,11 @@ def main():
     ap.add_argument("--peak-lr", type=float, default=2e-4)
     ap.add_argument("--feat-weight", type=float, default=0.1)
     ap.add_argument("--hint-weight", type=float, default=0.5)
+    ap.add_argument("--hint-decay", type=int, default=0,
+                    help="anneal hint+feat weights to 0 over N steps")
+    ap.add_argument("--synth-prob", type=float, default=0.1,
+                    help="pure-synthetic frame probability in the "
+                    "augmented batches")
     ap.add_argument("--qat", default=None, metavar="SPEC",
                     help="fake-quant the named student trunk units during "
                     "training (mix-spec over student units, e.g. 'last17' "
@@ -237,6 +242,7 @@ def main():
         step = make_walk_distill_step(
             args.blocks, args.teacher_blocks, f, hw, batch=args.batch,
             qset=qset, scales=scales, hint_weight=args.hint_weight,
+            hint_decay_steps=args.hint_decay, synth_prob=args.synth_prob,
             feat_weight=args.feat_weight, seed=args.seed)
         t_params_d = jax.device_put(t_params)  # walker teacher (modular tree)
         pool_np, val_np = build_pools(hw)

@@ -70,7 +70,8 @@ def student_params_from_teacher(teacher_params: dict, n_student: int,
     return out
 
 
-def make_augment_batch(frame_hw: Tuple[int, int]) -> Callable:
+def make_augment_batch(frame_hw: Tuple[int, int],
+                       synth_prob: float = 0.2) -> Callable:
     """Device-side training-batch synthesizer: (key, pool[P,H,W,3] f32 in
     [-1,1], batch) -> [B,H,W,3] — random pool-pair blends, cyclic rolls,
     flips, multi-scale noise fields, and occasional pure-synthetic
@@ -106,10 +107,10 @@ def make_augment_batch(frame_hw: Tuple[int, int]) -> Callable:
             "linear")
         amp_f = jax.random.uniform(ks[8], (), minval=0.0, maxval=0.04)
         x = x + amp_f * jax.random.normal(ks[8], (h, w, 3))
-        # ~20% pure-synthetic frames: off-manifold coverage so the match
+        # pure-synthetic frames: off-manifold coverage so the match
         # holds beyond the pool's content statistics
-        x = jnp.where(jax.random.bernoulli(ks[9], 0.2), _noise_image(ks[9]),
-                      x)
+        x = jnp.where(jax.random.bernoulli(ks[9], synth_prob),
+                      _noise_image(ks[9]), x)
         return jnp.clip(x, -1.0, 1.0)
 
     def batch_fn(key, pool, batch: int):
@@ -316,7 +317,9 @@ def make_walk_distill_step(n_student: int, n_teacher: int,
                            batch: int, *, qset: frozenset = frozenset(),
                            scales: dict | None = None,
                            hint_weight: float = 0.5,
+                           hint_decay_steps: int = 0,
                            feat_weight: float = 0.1,
+                           synth_prob: float = 0.2,
                            dtype=jnp.bfloat16, head_block: int = 4,
                            seed: int = 0) -> Callable:
     """Walker-based distillation/QAT update (one dispatch).
@@ -337,9 +340,16 @@ def make_walk_distill_step(n_student: int, n_teacher: int,
     For QAT pass ``qset``/``scales`` (qat_calibrate) — with
     n_student == n_teacher and init == teacher params this fine-tunes the
     int8 path against the bf16 teacher from an exact-match init.
+
+    ``hint_decay_steps`` > 0 anneals the hint+feat weights linearly to
+    zero over that many steps (curriculum: dense per-block guidance
+    rescues the pruned init — measured +16 dB in the first 400 steps of
+    the x2 K=8 run — but a shallower trunk cannot match the teacher's
+    streams exactly, so a CONSTANT hint term eventually competes with
+    output fidelity; the anneal hands the endgame to the output loss).
     """
     keep = select_student_blocks(n_teacher, n_student)
-    augment = make_augment_batch(frame_hw)
+    augment = make_augment_batch(frame_hw, synth_prob)
     base_key = jax.random.PRNGKey(seed)
 
     def rel_mse(a, b):
@@ -370,7 +380,12 @@ def make_walk_distill_step(n_student: int, n_teacher: int,
             l_feat = rel_mse(s_trunk, t_trunk)
             l_hint = sum(rel_mse(s, t)
                          for s, t in zip(s_streams, t_hints)) / n_student
-            total = (l_out + feat_weight * l_feat + hint_weight * l_hint)
+            anneal = 1.0
+            if hint_decay_steps > 0:
+                anneal = jnp.clip(1.0 - state.step / hint_decay_steps,
+                                  0.0, 1.0)
+            total = (l_out + anneal * (feat_weight * l_feat
+                                       + hint_weight * l_hint))
             return total, (l_out, l_feat, l_hint)
 
         (loss, (l_out, l_feat, l_hint)), grads = jax.value_and_grad(
