@@ -130,6 +130,45 @@ def _bench_params(factor, tile_hw):
                       jnp.zeros((1, *tile_hw, 3), jnp.float32))["params"]
 
 
+def _add_student_runners(runners, factor, tile_hw):
+    """Distilled-student product points (assets/students/x{F}_k{K}.*,
+    scripts/distill_student.py): a K-block trunk trained to reproduce the
+    16-block teacher's function (train/distill.py). Quality for these
+    tags is gated STUDENT-vs-TEACHER — the comparison the round-3 verdict
+    prescribed for trained-equivalence trunks — on the same held-out
+    frame and budget-derived threshold as the quant modes."""
+    import glob
+    import os
+
+    from flax import serialization
+
+    from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
+
+    stu_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "assets", "students")
+    for meta_path in sorted(glob.glob(
+            os.path.join(stu_dir, f"x{factor}_k*.json"))):
+        try:
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            k = int(meta["blocks"])
+            with open(meta_path.replace(".json", ".msgpack"), "rb") as fh:
+                sp = serialization.msgpack_restore(fh.read())
+            for tag, quant in ((f"stu{k}-tail8", "tail8"),
+                               (f"stu{k}-i8tail", "tail"),
+                               (f"stu{k}-bf16", False)):
+                r = FastOrigRunner(sp, res_block_num=k,
+                                   upscale_factor=factor, tile_hw=tile_hw,
+                                   quant=quant)
+                runners[tag] = (r, jax.device_put(r.qp))
+            log(f"student x{factor} K={k} loaded (val "
+                f"{meta.get('val_psnr_vs_teacher_runner', float('nan')):.2f}"
+                f" dB vs teacher)")
+        except Exception as e:  # pragma: no cover - asset robustness
+            log(f"student asset {meta_path} unusable: "
+                f"{type(e).__name__}: {e}")
+
+
 def bench_tiled_inference():
     from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
     from video_cycle_gan_upscaling_tpu.video.tiles import make_tiled_upscaler
@@ -153,6 +192,7 @@ def bench_tiled_inference():
         r = FastOrigRunner(params, res_block_num=16, upscale_factor=FACTOR,
                            tile_hw=TILE_HW, quant=quant)
         runners[tag] = (r, jax.device_put(r.qp))
+    _add_student_runners(runners, FACTOR, TILE_HW)
 
     # calibration frame: REAL imagery (the committed demo artifact derived
     # from the reference's BtoA_00286 movie frame), not synthetic noise —
@@ -208,7 +248,7 @@ def bench_tiled_inference():
         return fps, up
 
     results = {}
-    for tag in ("int8", "mix", "tail8", "i8tail", "bf16"):
+    for tag in [t for t in runners if t != "bf16"] + ["bf16"]:
         batch = FRAME_BATCH
         while batch >= 2:
             try:
@@ -230,14 +270,14 @@ def bench_tiled_inference():
     if "bf16" in results:
         out_b = jax.jit(results["bf16"][1])(runners["bf16"][1], frame)
         best = results["bf16"][0]
-        for tag in ("i8tail", "tail8", "mix", "int8"):
-            if tag not in results:
-                continue
+        for tag in [t for t in results if t != "bf16"]:
             out_q = jax.jit(results[tag][1])(runners[tag][1], frame)
             psnr = _psnr(out_q, out_b)
             delta = 10 * np.log10(1 + 10 ** ((R_TRAINED_DB - psnr) / 10))
             gate = "PASS" if psnr >= TURBO_PSNR_GATE else "MISS"
-            log(f"{tag} vs bf16 PSNR on real frame: {psnr:.2f} dB "
+            kind = ("STUDENT-vs-TEACHER" if tag.startswith("stu")
+                    else "vs bf16")
+            log(f"{tag} {kind} PSNR on real frame: {psnr:.2f} dB "
                 f"[{gate} gate {TURBO_PSNR_GATE:.1f} dB; implied "
                 f"end-to-end delta at R={R_TRAINED_DB:.0f} dB: "
                 f"{delta:.3f} dB]")
@@ -293,10 +333,11 @@ def bench_x4_inference():
                        ("int8", True)):
         r = FastOrigRunner(params, res_block_num=16, upscale_factor=4,
                            tile_hw=hw, quant=quant)
-        qp = jax.device_put(r.qp)
+        runners[tag] = (r, jax.device_put(r.qp))
+    _add_student_runners(runners, 4, hw)
+    for tag, (r, qp) in runners.items():
         if r.tail_quant_ready or r.quant:
-            qp = r.calibrate(qp, cal[None])
-        runners[tag] = (r, qp)
+            runners[tag] = (r, r.calibrate(qp, cal[None]))
 
     outs = {tag: jax.jit(r.apply)(qp, ev[None])
             for tag, (r, qp) in runners.items()}
