@@ -154,8 +154,8 @@ def _add_student_runners(runners, factor, tile_hw):
             k = int(meta["blocks"])
             with open(meta_path.replace(".json", ".msgpack"), "rb") as fh:
                 sp = serialization.msgpack_restore(fh.read())
-            for tag, quant in ((f"stu{k}-tail8", "tail8"),
-                               (f"stu{k}-i8tail", "tail"),
+            for tag, quant in ((f"stu{k}-trunk", "trunk"),
+                               (f"stu{k}-tail8", "tail8"),
                                (f"stu{k}-bf16", False)):
                 r = FastOrigRunner(sp, res_block_num=k,
                                    upscale_factor=factor, tile_hw=tile_hw,
@@ -188,7 +188,7 @@ def bench_tiled_inference():
     runners = {}
     for tag, quant in (("bf16", False), ("i8tail", "tail"),
                        ("tail8", "tail8"), ("mix", "mix:13,14,15"),
-                       ("int8", True)):
+                       ("trunkonly", "trunk"), ("int8", True)):
         r = FastOrigRunner(params, res_block_num=16, upscale_factor=FACTOR,
                            tile_hw=TILE_HW, quant=quant)
         runners[tag] = (r, jax.device_put(r.qp))
@@ -330,7 +330,7 @@ def bench_x4_inference():
     runners = {}
     for tag, quant in (("bf16", False), ("i8tail", "tail"),
                        ("tail8", "tail8"), ("mix", "mix:last14"),
-                       ("int8", True)):
+                       ("trunkonly", "trunk"), ("int8", True)):
         r = FastOrigRunner(params, res_block_num=16, upscale_factor=4,
                            tile_hw=hw, quant=quant)
         runners[tag] = (r, jax.device_put(r.qp))

@@ -333,7 +333,8 @@ def main():
 
     gate = 46.33
     rows = []
-    modes = ["bf16", "tail", "tail8", "mix:last2", "mix:last4", True]
+    modes = ["bf16", "trunk", "tail", "tail8", "mix:last2", "mix:last4",
+             True]
     for quant in modes:
         q = False if quant == "bf16" else quant
         r = FastOrigRunner(s_params, res_block_num=args.blocks,

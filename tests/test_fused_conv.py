@@ -467,3 +467,41 @@ def test_fast_orig_runner_mixed_trunk(factor):
     psnr_full = 10 * np.log10(4.0 / max(mse_f, 1e-12))
     # fewer quantized convs => at least as clean as the full-int8 trunk
     assert psnr > 35.0 and psnr >= psnr_full - 1.0, (psnr, psnr_full)
+
+
+@pytest.mark.parametrize("spec", ["trunk", "trunk:last1"])
+@pytest.mark.parametrize("factor", [2, 4])
+def test_fast_orig_runner_trunk_only_mode(spec, factor):
+    """quant='trunk[:SPEC]' = W8A8 trunk units + BF16 tail (the inverse
+    of 'tail'/'tail8' — round-4 trained-weights finding: the tail
+    dominates W8A8 error on trained statistics). The tail must stay
+    bf16 (no tail scales in the calibrated qp) and quality must be
+    bounded by trunk-quant error only."""
+    from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
+    from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
+
+    model = UpscalerOrig(kernel_size=5, filters=8, upscale_factor=factor,
+                         res_block_num=2, dtype=jnp.float32, phase_tail=True)
+    x = _mk(jax.random.PRNGKey(8), (1, 12, 16, 3), 0.5)
+    variables = model.init(jax.random.PRNGKey(9), x)
+    ref = model.apply(variables, x)
+
+    pnorms.INTERPRET = True
+    try:
+        runner = FastOrigRunner(variables["params"], res_block_num=2,
+                                upscale_factor=factor, tile_hw=(12, 16),
+                                quant=spec, dtype=jnp.float32)
+        assert runner.quant and not runner.tail_quant
+        assert not runner.tail_quant_ready and not runner.head_quant
+        n_units = len(runner.trunk_qset)
+        assert n_units == (3 if spec == "trunk" else 1)
+        qp = runner.calibrate(runner.qp, x)
+        assert "tail_s0" not in qp  # tail stays bf16
+        got = runner.apply(qp, x)
+    finally:
+        pnorms.INTERPRET = False
+    assert got.shape == ref.shape
+    mse = float(np.mean((np.asarray(got, np.float32)
+                         - np.asarray(ref, np.float32)) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
+    assert psnr > 35.0, (spec, psnr)

@@ -56,6 +56,13 @@ def main(argv=None):
                    help="bf16 trunk + all-W8A8 tail (head included): "
                         "faster than --turbo-tail, quantizes the head "
                         "(orig generator only)")
+    p.add_argument("--turbo-trunk", default=None, metavar="SPEC",
+                   nargs="?", const="all",
+                   help="W8A8 trunk + BF16 tail: the budget mode for "
+                        "TRAINED weights, whose tail dominates W8A8 "
+                        "error (docs/PERF.md round 4). Optional SPEC "
+                        "names the int8 units ('last8', '3,4'); default "
+                        "all (orig generator only)")
     p.add_argument("--turbo-mix", default=None, metavar="SPEC",
                    help="all-W8A8 tail + MIXED-precision trunk: SPEC "
                         "names the int8 trunk units, e.g. 'last11', "
@@ -108,14 +115,17 @@ def main(argv=None):
 
     apply_fn = lambda prm, x: model.apply({"params": prm}, x)
     apply_fn_u8 = None
-    if ((args.turbo or args.turbo_tail or args.turbo_tail8 or args.turbo_mix)
-            and cfg.model.generator != "orig"):
-        raise SystemExit("--turbo/--turbo-tail/--turbo-tail8/--turbo-mix "
-                         "support the 'orig' generator only")
+    if ((args.turbo or args.turbo_tail or args.turbo_tail8 or args.turbo_mix
+         or args.turbo_trunk) and cfg.model.generator != "orig"):
+        raise SystemExit("--turbo/--turbo-tail/--turbo-tail8/--turbo-mix/"
+                         "--turbo-trunk support the 'orig' generator only")
     quant_mode = (True if args.turbo else
                   f"mix:{args.turbo_mix}" if args.turbo_mix else
                   "tail8" if args.turbo_tail8 else
-                  "tail" if args.turbo_tail else False)
+                  "tail" if args.turbo_tail else
+                  ("trunk" if args.turbo_trunk == "all" else
+                   f"trunk:{args.turbo_trunk}") if args.turbo_trunk else
+                  False)
     if cfg.model.generator == "orig":
         # fused-kernel inference runner (Pallas conv+IN trunk, prepacked
         # phase tail; --turbo switches the trunk to W8A8) — ~4x the

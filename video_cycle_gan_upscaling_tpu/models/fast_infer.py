@@ -100,7 +100,16 @@ class FastOrigRunner:
         the head runs at the int8 MXU rate, while the trunk — the
         dominant quantization-error source — stays bf16)."""
         is_mix = isinstance(quant, str) and quant.startswith("mix")
-        assert quant in (False, True, "tail", "tail8") or is_mix, quant
+        # "trunk[:SPEC]": W8A8 trunk units + BF16 tail — the inverse of
+        # "tail"/"tail8". Motivated by the round-4 trained-weights
+        # finding (docs/PERF.md): on the trained teacher/distilled
+        # students the TAIL carries nearly all W8A8 error (student K=8
+        # x2: tail8 41.3 dB vs full-int8 40.9 — the trunk adds ~0.4 dB)
+        # — the reverse of the random-init statistics every round-3 mode
+        # was tuned on.
+        is_trunk = isinstance(quant, str) and quant.startswith("trunk")
+        assert (quant in (False, True, "tail", "tail8") or is_mix
+                or is_trunk), quant
         self.stats_mode = stats_mode  # None -> fused_conv env default
         c = filters or params["initial_conv"]["kernel"].shape[-1]
         self.filters = c
@@ -114,6 +123,10 @@ class FastOrigRunner:
             # frontier between tail8 and full int8; docs/PERF.md
             # round-4 candidate 1, sweep: scripts/mix_trunk_sweep.py)
             self.trunk_qset = parse_mix_spec(quant, res_block_num)
+        elif is_trunk:
+            self.trunk_qset = (parse_mix_spec(quant, res_block_num)
+                               if ":" in quant
+                               else frozenset(range(n_units)))
         else:
             self.trunk_qset = frozenset()
         self.quant = bool(self.trunk_qset)  # any trunk conv quantized
