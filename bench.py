@@ -146,24 +146,29 @@ def _add_student_runners(runners, factor, tile_hw):
 
     stu_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "assets", "students")
+    mode_map = {"bf16": False, "trunk": "trunk", "tail8": "tail8",
+                "i8tail": "tail", "int8": True}
     for meta_path in sorted(glob.glob(
             os.path.join(stu_dir, f"x{factor}_k*.json"))):
         try:
             with open(meta_path) as fh:
                 meta = json.load(fh)
             k = int(meta["blocks"])
+            # tag prefix from the asset stem ("x2_k8q" -> "stu8q") so
+            # multiple students per factor (e.g. plain + QAT'd) coexist
+            stem = os.path.basename(meta_path)[:-5]
+            suffix = stem.split("_k", 1)[1]
+            modes = meta.get("modes", ["trunk", "tail8", "bf16"])
             with open(meta_path.replace(".json", ".msgpack"), "rb") as fh:
                 sp = serialization.msgpack_restore(fh.read())
-            for tag, quant in ((f"stu{k}-trunk", "trunk"),
-                               (f"stu{k}-tail8", "tail8"),
-                               (f"stu{k}-bf16", False)):
+            for mode in modes:
                 r = FastOrigRunner(sp, res_block_num=k,
                                    upscale_factor=factor, tile_hw=tile_hw,
-                                   quant=quant)
-                runners[tag] = (r, jax.device_put(r.qp))
-            log(f"student x{factor} K={k} loaded (val "
+                                   quant=mode_map[mode])
+                runners[f"stu{suffix}-{mode}"] = (r, jax.device_put(r.qp))
+            log(f"student x{factor} K={k} ({stem}) loaded (val "
                 f"{meta.get('val_psnr_vs_teacher_runner', float('nan')):.2f}"
-                f" dB vs teacher)")
+                f" dB vs teacher; modes {modes})")
         except Exception as e:  # pragma: no cover - asset robustness
             log(f"student asset {meta_path} unusable: "
                 f"{type(e).__name__}: {e}")
@@ -201,7 +206,12 @@ def bench_tiled_inference():
 
     def measure(tag, batch):
         r, qp = runners[tag]
-        if r.tail_quant_ready and not r.tail_calibrated:
+        # calibrate once per runner — including TRUNK-only quant modes,
+        # whose per-channel weight refold happens even though no tail
+        # scales are added (an uncalibrated trained-weights trunk runs
+        # static scales into clipping: measured 28 dB garbage)
+        if ((r.tail_quant_ready and not r.tail_calibrated)
+                or (r.quant and not r.trunk_calibrated)):
             qp = r.calibrate(jax.device_put(qp),
                              jax.device_put(cal_frame[None]))
             runners[tag] = (r, qp)

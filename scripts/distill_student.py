@@ -116,12 +116,21 @@ def main():
                     "training (mix-spec over student units, e.g. 'last17' "
                     "= all; scales frozen from an init-time calibration "
                     "on the demo frame)")
+    ap.add_argument("--qat-tail", action="store_true",
+                    help="fake-quant the student's TAIL during training "
+                    "(W8A8 up convs + head, per-channel scales from an "
+                    "init-time calibration) — lets the student absorb "
+                    "the tail quantization error that MISSes the gate "
+                    "on trained weights (docs/PERF.md round 4)")
     ap.add_argument("--eval-every", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None,
                     help="default assets/students/x{F}_k{K}.msgpack")
     ap.add_argument("--resume", action="store_true",
                     help="init from the saved student instead of the teacher")
+    ap.add_argument("--init-from", default=None, metavar="MSGPACK",
+                    help="student params to start from (e.g. the plain "
+                    "distilled student, as the init of a QAT fine-tune)")
     ap.add_argument("--measure", action="store_true",
                     help="after training, run the bench protocol on the student")
     ap.add_argument("--measure-only", action="store_true")
@@ -203,6 +212,11 @@ def main():
     s_params = student_params_from_teacher(t_params, args.blocks,
                                            args.teacher_blocks)
     meta_path = out_path.replace(".msgpack", ".json")
+    if args.init_from and not args.measure_only:
+        with open(args.init_from, "rb") as fh:
+            s_params = serialization.from_bytes(
+                jax.device_get(s_params), fh.read())
+        log(f"initialized student from {args.init_from}")
     if (args.resume or args.measure_only) and os.path.exists(out_path):
         with open(out_path, "rb") as fh:
             s_params = serialization.from_bytes(
@@ -226,22 +240,32 @@ def main():
         tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
         state = TrainState.create(apply_fn=student.apply,
                                   params=jax.device_put(s_params), tx=tx)
-        qset, scales = frozenset(), None
-        if args.qat:
-            qset = parse_mix_spec(f"mix:{args.qat}", args.blocks)
+        qset, scales, tail_fq = frozenset(), None, None
+        if args.qat or args.qat_tail:
             from PIL import Image
 
             cal_img = Image.open(os.path.join(
                 DEMO, "input_480x270.png")).convert("RGB").resize(
                     (hw[1], hw[0]), Image.BICUBIC)
             cal = jnp.asarray(_to_unit(cal_img))[None]
+        if args.qat:
+            qset = parse_mix_spec(f"mix:{args.qat}", args.blocks)
             scales = qat_calibrate(jax.device_put(s_params), cal,
                                    args.blocks, qset)
             log(f"QAT units {sorted(qset)} (scales frozen from demo-frame "
                 f"calibration)")
+        if args.qat_tail:
+            from video_cycle_gan_upscaling_tpu.train.distill import (
+                qat_calibrate_tail,
+            )
+
+            tail_fq = qat_calibrate_tail(jax.device_put(s_params), cal,
+                                         args.blocks, f)
+            log(f"tail QAT on ({sorted(tail_fq)} scales frozen)")
         step = make_walk_distill_step(
             args.blocks, args.teacher_blocks, f, hw, batch=args.batch,
-            qset=qset, scales=scales, hint_weight=args.hint_weight,
+            qset=qset, scales=scales, tail_fq=tail_fq,
+            hint_weight=args.hint_weight,
             hint_decay_steps=args.hint_decay, synth_prob=args.synth_prob,
             feat_weight=args.feat_weight, seed=args.seed)
         t_params_d = jax.device_put(t_params)  # walker teacher (modular tree)
@@ -255,9 +279,26 @@ def main():
             lambda u: u.astype(jnp.float32) / 127.5 - 1.0)
         pool = u8_to_unit(to_dev_u8(pool_np))
         val = u8_to_unit(to_dev_u8(val_np))
-        # teacher_fwd returns (out, feat); eval wants out only
-        ev = make_eval_psnr(student,
-                            lambda p, x: teacher_fwd(p, x)[0])
+        # teacher_fwd returns (out, feat); eval wants out only. Under
+        # QAT the val metric (and therefore best-checkpoint selection)
+        # runs the student's QUANT-SIM forward — the deploy-relevant
+        # quantity.
+        if qset or tail_fq is not None:
+            from video_cycle_gan_upscaling_tpu.train.distill import (
+                tail_walk,
+                trunk_walk,
+            )
+
+            def stu_fwd(p, x):
+                trunk, _ = trunk_walk(p, x, args.blocks, qset=qset,
+                                      scales=scales)
+                return tail_walk(p, trunk, f, fq_scales=tail_fq)
+
+            ev = make_eval_psnr(stu_fwd,
+                                lambda p, x: teacher_fwd(p, x)[0])
+        else:
+            ev = make_eval_psnr(student,
+                                lambda p, x: teacher_fwd(p, x)[0])
 
         best = -1.0
         pend = None
@@ -281,6 +322,8 @@ def main():
                     with open(out_path + ".tmp", "wb") as fh:
                         fh.write(serialization.to_bytes(params_host))
                     os.replace(out_path + ".tmp", out_path)
+                    modes = (["int8", "tail8", "trunk"] if args.qat_tail
+                             else ["trunk", "tail8", "bf16"])
                     with open(meta_path, "w") as fh:
                         json.dump({"factor": f, "blocks": args.blocks,
                                    "teacher_blocks": args.teacher_blocks,
@@ -288,6 +331,11 @@ def main():
                                    "kernel_size": args.kernel_size,
                                    "geometry": list(hw),
                                    "val_psnr_vs_teacher_runner": vp,
+                                   "val_is_quant_sim": bool(
+                                       qset or tail_fq is not None),
+                                   "qat": args.qat,
+                                   "qat_tail": args.qat_tail,
+                                   "modes": modes,
                                    "steps": i + 1,
                                    "feat_weight": args.feat_weight,
                                    "peak_lr": args.peak_lr}, fh, indent=1)

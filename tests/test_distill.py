@@ -215,3 +215,66 @@ def test_walk_distill_step_reduces_loss():
     assert np.mean(hist[-4:]) < np.mean(hist[1:5])
     for k in ("loss_out", "loss_feat", "loss_hint"):
         assert np.isfinite(float(m[k])), k
+
+
+def test_tail_walk_fq_small_perturbation_and_grad():
+    """Tail QAT sim: fake-quantized tail output is a small perturbation
+    of the clean tail, and gradients flow to the tail weights."""
+    from video_cycle_gan_upscaling_tpu.train.distill import (
+        qat_calibrate_tail,
+        tail_walk,
+        trunk_walk,
+    )
+
+    m = _model(2)
+    x = jax.random.uniform(KEY, (1, 16, 16, 3), minval=-1, maxval=1)
+    p = m.init(KEY, x)["params"]
+    fq = qat_calibrate_tail(p, x, 2, 2, dtype=jnp.float32)
+    assert set(fq) == {"tail_in", "up_0"}
+    trunk, _ = trunk_walk(p, x, 2, dtype=jnp.float32)
+    clean = tail_walk(p, trunk, 2, dtype=jnp.float32)
+    quant = tail_walk(p, trunk, 2, dtype=jnp.float32, fq_scales=fq)
+    d = float(jnp.mean((clean - quant) ** 2))
+    assert 0 < d < 1e-2, d
+
+    def loss(params):
+        t, _ = trunk_walk(params, x, 2, dtype=jnp.float32)
+        return jnp.mean(tail_walk(params, t, 2, dtype=jnp.float32,
+                                  fq_scales=fq) ** 2)
+
+    g = jax.grad(loss)(p)
+    gk = g["upscale_0"]["conv_transp"]["kernel"]
+    assert np.isfinite(np.asarray(gk)).all()
+    assert float(jnp.max(jnp.abs(gk))) > 0
+
+
+def test_walk_distill_step_with_tail_fq_runs():
+    import optax
+
+    from video_cycle_gan_upscaling_tpu.train.distill import (
+        make_walk_distill_step,
+        qat_calibrate_tail,
+    )
+    from video_cycle_gan_upscaling_tpu.train.state import TrainState
+
+    hw = (16, 16)
+    teacher = _model(4)
+    x = jnp.zeros((1, *hw, 3))
+    tp = teacher.init(KEY, x)["params"]
+    sp = student_params_from_teacher(tp, 2)
+    cal = jax.random.uniform(jax.random.PRNGKey(9), (1, *hw, 3),
+                             minval=-1, maxval=1)
+    fq = qat_calibrate_tail(sp, cal, 2, 2, dtype=jnp.float32)
+    student = _model(2)
+    state = TrainState.create(apply_fn=student.apply, params=sp,
+                              tx=optax.adam(1e-3))
+    step = make_walk_distill_step(2, 4, 2, hw, batch=2, tail_fq=fq,
+                                  dtype=jnp.float32, head_block=2, seed=4)
+    pool = jax.random.uniform(jax.random.PRNGKey(5), (3, *hw, 3),
+                              minval=-1, maxval=1)
+    hist = []
+    for _ in range(12):
+        state, m = step(state, tp, pool)
+        hist.append(float(m["loss"]))
+    assert np.all(np.isfinite(hist))
+    assert np.mean(hist[-4:]) < np.mean(hist[:4])

@@ -453,6 +453,7 @@ class FastOrigRunner:
         # on a real frame; until calibrated the tail runs the bf16 x-pack.
         self.tail_quant_ready = False
         self.tail_calibrated = False
+        self.trunk_calibrated = False  # per-channel trunk refold done
         # Asymmetric head-input quantization (tail8/full-int8 tails):
         # the stage-1 stream is post-LeakyReLU, so its per-channel range
         # is skewed (~[-0.2m, m]); a per-channel integer zero point
@@ -525,6 +526,7 @@ class FastOrigRunner:
                     qp[w_tag] = fc.quantize_packed_kernel(
                         self._trunk_masters[w_tag], in_scales=qs,
                         out_pack=self.pack)
+            self.trunk_calibrated = True
         if not self.tail_quant_ready:
             return qp
         amaxes = jax.device_get(jax.jit(self._tail_amax)(qp, x))

@@ -264,10 +264,25 @@ def trunk_walk(params: dict, x: jax.Array, n_blocks: int, *,
 
 
 def tail_walk(params: dict, trunk: jax.Array, upscale_factor: int, *,
-              dtype=jnp.bfloat16, head_block: int = 4) -> jax.Array:
+              dtype=jnp.bfloat16, head_block: int = 4,
+              fq_scales: dict | None = None) -> jax.Array:
     """Pixel tail over the standard params tree (transpose convs as the
     subpixel d2s rewrite + the S-blocked head), matching
-    UpscalerOrig(phase_tail=False, head_block=...)."""
+    UpscalerOrig(phase_tail=False, head_block=...).
+
+    ``fq_scales`` (tail QAT): per-channel activation scales
+    {"tail_in": [C], "up_0": [C'], ...} from ``qat_calibrate_tail``;
+    when given, every tail conv input is STE-fake-quantized per channel
+    and its kernel per out-channel with the input scales folded —
+    mirroring the fused runner's W8A8 tail (fast_infer._tail_int8).
+    Grain is slightly COARSER than runtime (canonical kernels instead of
+    prepacked phase slots; symmetric head-input instead of the zp
+    asymmetric emit), so a student trained through this sim sees at
+    least the runtime's quantization noise. Motivated by the round-4
+    trained-weights finding: the tail carries nearly all W8A8 error on
+    trained statistics (38-44 dB, MISSing the budget gate at both
+    geometries) — training the student THROUGH the quantized tail lets
+    its weights absorb that error."""
     import math
 
     from video_cycle_gan_upscaling_tpu.ops import nn as vops
@@ -276,11 +291,20 @@ def tail_walk(params: dict, trunk: jax.Array, upscale_factor: int, *,
     y = trunk
     for i in range(int(math.log2(upscale_factor))):
         up = params[f"upscale_{i}"]["conv_transp"]
-        y = sp.conv_transpose_d2s(y.astype(dtype),
-                                  up["kernel"].astype(dtype), up["bias"],
-                                  stride=2)
+        w = up["kernel"]
+        if fq_scales is not None:
+            s = fq_scales["tail_in"] if i == 0 else fq_scales[f"up_{i - 1}"]
+            y = fake_quant_act(y, s)
+            w = fake_quant_kernel(w, s)
+        y = sp.conv_transpose_d2s(y.astype(dtype), w.astype(dtype),
+                                  up["bias"], stride=2)
         y = vops.leaky_relu(y, 0.2)
-    w9 = params["final_conv"]["kernel"].astype(dtype)
+    w9 = params["final_conv"]["kernel"]
+    if fq_scales is not None:
+        s = fq_scales[f"up_{int(math.log2(upscale_factor)) - 1}"]
+        y = fake_quant_act(y, s)
+        w9 = fake_quant_kernel(w9, s)
+    w9 = w9.astype(dtype)
     b9 = params["final_conv"]["bias"]
     hb = head_block
     while hb > 1 and (y.shape[1] % hb or y.shape[2] % hb):
@@ -290,6 +314,38 @@ def tail_walk(params: dict, trunk: jax.Array, upscale_factor: int, *,
         yp = jnp.tanh(yp.astype(jnp.float32))
         return sp.depth_to_space(yp, hb)
     return jnp.tanh(vops.same_conv(y, w9, b9).astype(jnp.float32))
+
+
+def qat_calibrate_tail(params: dict, x: jax.Array, n_blocks: int,
+                       upscale_factor: int,
+                       dtype=jnp.bfloat16) -> dict:
+    """Per-channel activation scales (127/abs-max) for the tail QAT sim:
+    the trunk output ("tail_in") and each up conv's post-LeakyReLU
+    output ("up_i"), measured on a calibration batch — the walker analog
+    of FastOrigRunner._tail_amax."""
+    import math
+
+    from video_cycle_gan_upscaling_tpu.ops import nn as vops
+    from video_cycle_gan_upscaling_tpu.ops import subpixel as sp
+
+    def observe(p, xx):
+        trunk, _ = trunk_walk(p, xx, n_blocks, dtype=dtype)
+        out = {"tail_in": jnp.max(jnp.abs(trunk.astype(jnp.float32)),
+                                  axis=(0, 1, 2))}
+        y = trunk
+        for i in range(int(math.log2(upscale_factor))):
+            up = p[f"upscale_{i}"]["conv_transp"]
+            y = sp.conv_transpose_d2s(y.astype(dtype),
+                                      up["kernel"].astype(dtype),
+                                      up["bias"], stride=2)
+            y = vops.leaky_relu(y, 0.2)
+            out[f"up_{i}"] = jnp.max(jnp.abs(y.astype(jnp.float32)),
+                                     axis=(0, 1, 2))
+        return out
+
+    amax = jax.jit(observe)(params, x)
+    return {k: 127.0 / jnp.maximum(jnp.asarray(v, jnp.float32), 1e-6)
+            for k, v in amax.items()}
 
 
 def qat_calibrate(params: dict, x: jax.Array, n_blocks: int,
@@ -316,6 +372,7 @@ def make_walk_distill_step(n_student: int, n_teacher: int,
                            upscale_factor: int, frame_hw: Tuple[int, int],
                            batch: int, *, qset: frozenset = frozenset(),
                            scales: dict | None = None,
+                           tail_fq: dict | None = None,
                            hint_weight: float = 0.5,
                            hint_decay_steps: int = 0,
                            feat_weight: float = 0.1,
@@ -375,7 +432,7 @@ def make_walk_distill_step(n_student: int, n_teacher: int,
                                             scales=scales,
                                             collect_streams=True)
             s_out = tail_walk(params, s_trunk, upscale_factor, dtype=dtype,
-                              head_block=head_block)
+                              head_block=head_block, fq_scales=tail_fq)
             l_out = jnp.mean((s_out - t_out) ** 2)
             l_feat = rel_mse(s_trunk, t_trunk)
             l_hint = sum(rel_mse(s, t)
