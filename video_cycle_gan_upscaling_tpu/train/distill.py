@@ -414,29 +414,37 @@ def make_walk_distill_step(n_student: int, n_teacher: int,
         num = jnp.mean((a.astype(jnp.float32) - b) ** 2)
         return num / (jax.lax.stop_gradient(jnp.mean(b ** 2)) + 1e-8)
 
+    # hint streams cost ~(n_teacher + n_student) HBM-resident frame-size
+    # tensors; don't even collect them when the weight is zero (the QAT
+    # fine-tune runs output-only and was RESOURCE_EXHAUSTED with them)
+    use_hints = hint_weight > 0.0
+
     @partial(jax.jit, donate_argnums=0)
     def step(state, teacher_params, pool):
         key = jax.random.fold_in(base_key, state.step)
         x = augment(key, pool, batch)
         t_trunk, t_streams = trunk_walk(teacher_params, x, n_teacher,
-                                        dtype=dtype, collect_streams=True)
+                                        dtype=dtype,
+                                        collect_streams=use_hints)
         t_out = tail_walk(teacher_params, t_trunk, upscale_factor,
                           dtype=dtype, head_block=head_block)
         t_out = jax.lax.stop_gradient(t_out)
         t_trunk = jax.lax.stop_gradient(t_trunk)
-        t_hints = [jax.lax.stop_gradient(t_streams[k]) for k in keep]
+        t_hints = ([jax.lax.stop_gradient(t_streams[k]) for k in keep]
+                   if use_hints else None)
 
         def loss_fn(params):
             s_trunk, s_streams = trunk_walk(params, x, n_student,
                                             dtype=dtype, qset=qset,
                                             scales=scales,
-                                            collect_streams=True)
+                                            collect_streams=use_hints)
             s_out = tail_walk(params, s_trunk, upscale_factor, dtype=dtype,
                               head_block=head_block, fq_scales=tail_fq)
             l_out = jnp.mean((s_out - t_out) ** 2)
             l_feat = rel_mse(s_trunk, t_trunk)
-            l_hint = sum(rel_mse(s, t)
-                         for s, t in zip(s_streams, t_hints)) / n_student
+            l_hint = (sum(rel_mse(s, t) for s, t in
+                          zip(s_streams, t_hints)) / n_student
+                      if use_hints else jnp.float32(0.0))
             anneal = 1.0
             if hint_decay_steps > 0:
                 anneal = jnp.clip(1.0 - state.step / hint_decay_steps,
