@@ -175,19 +175,19 @@ def run_cyclegan():
     t0 = time.perf_counter()
     train_cyclegan.main(argv)
     wall = time.perf_counter() - t0
-    prefix = None
-    lossroot = os.path.join(OUT, "losses", "photo")
-    for d in sorted(os.listdir(lossroot)):
-        if d.startswith("cyclegan"):
-            prefix = d
-    lossdir = os.path.join(lossroot, prefix)
+    prefix = sub = None
+    for s in sorted(os.listdir(os.path.join(OUT, "losses"))):
+        for d in sorted(os.listdir(os.path.join(OUT, "losses", s))):
+            if d.startswith("cyclegan"):
+                sub, prefix = s, d
+    lossdir = os.path.join(OUT, "losses", sub, prefix)
     header, data = loss_table(lossdir, prefix)
     res = summarize(header, data, "CycleGAN",
                     ("loss_d_a", "loss_d_b", "loss_g_adv"),
                     ("loss_cycle",))
     res["wall_s"] = wall
     res["samples"] = copy_samples(
-        os.path.join(OUT, "example_images", "photo", prefix), "cyclegan")
+        os.path.join(OUT, "example_images", sub, prefix), "cyclegan")
     return res
 
 
