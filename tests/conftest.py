@@ -11,6 +11,10 @@ every test process pays a ~70-300s TPU-tunnel handshake.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# pin the tail-calibration clip ratio: the 'auto' grid re-calibrates and
+# re-applies the tail 5x — minutes per test in interpret-mode Pallas;
+# clip selection itself is covered by test_fused_conv's explicit test
+os.environ.setdefault("VCGU_TAIL_CLIP", "1.0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -505,3 +505,43 @@ def test_fast_orig_runner_trunk_only_mode(spec, factor):
                          - np.asarray(ref, np.float32)) ** 2))
     psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
     assert psnr > 35.0, (spec, psnr)
+
+
+def test_tail_clip_auto_selects_on_calibration_batch(monkeypatch):
+    """tail_clip='auto' picks the clip ratio minimizing quant-vs-bf16
+    MSE on the CALIBRATION batch (never held-out content) — on-batch
+    quality must therefore be >= the un-clipped calibration's."""
+    from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
+    from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
+
+    monkeypatch.delenv("VCGU_TAIL_CLIP", raising=False)
+    model = UpscalerOrig(kernel_size=5, filters=8, upscale_factor=2,
+                         res_block_num=2, dtype=jnp.float32, phase_tail=True)
+    x = _mk(jax.random.PRNGKey(8), (1, 12, 16, 3), 0.5)
+    variables = model.init(jax.random.PRNGKey(9), x)
+
+    def psnr_of(qp, runner):
+        ref = runner.apply(runner.qp, x)   # uncalibrated -> bf16 tail
+        got = runner.apply(qp, x)
+        mse = float(np.mean((np.asarray(got, np.float32)
+                             - np.asarray(ref, np.float32)) ** 2))
+        return 10 * np.log10(4.0 / max(mse, 1e-12))
+
+    pnorms.INTERPRET = True
+    try:
+        r1 = FastOrigRunner(variables["params"], res_block_num=2,
+                            upscale_factor=2, tile_hw=(12, 16),
+                            quant="tail8", dtype=jnp.float32)
+        qp1 = r1.calibrate(r1.qp, x, tail_clip=1.0)
+        p_unclipped = psnr_of(qp1, r1)
+        assert r1.tail_clip_selected == 1.0
+
+        r2 = FastOrigRunner(variables["params"], res_block_num=2,
+                            upscale_factor=2, tile_hw=(12, 16),
+                            quant="tail8", dtype=jnp.float32)
+        qp2 = r2.calibrate(r2.qp, x)  # auto
+        p_auto = psnr_of(qp2, r2)
+        assert r2.tail_clip_selected in (1.0, 0.85, 0.7, 0.55, 0.4)
+    finally:
+        pnorms.INTERPRET = False
+    assert p_auto >= p_unclipped - 0.2, (p_auto, p_unclipped)

@@ -490,9 +490,21 @@ class FastOrigRunner:
         return int(tag.rsplit("_", 1)[1]) in self.trunk_qset
 
     # -------------------------------------------------------- calibration
-    def calibrate(self, qp: Dict[str, Any], x: jax.Array) -> Dict[str, Any]:
+    def calibrate(self, qp: Dict[str, Any], x: jax.Array,
+                  tail_clip="auto", trunk_clip: float = 1.0
+                  ) -> Dict[str, Any]:
         """Measure per-CHANNEL activation quant scales on a sample batch
         and fold them into the prepacked int8 weights (quant modes).
+
+        ``tail_clip``: ratio applied to the measured tail abs-maxes
+        before the scale fold — <1 trades outlier clipping for a finer
+        rounding grid everywhere else. Round 3 measured every ratio <1
+        WORSE on the random-init model (outlier-free statistics); on
+        TRAINED weights the tail activations are outlier-heavy and
+        abs-max scales cost ~10 dB (docs/PERF.md round 4), so the
+        default "auto" evaluates a small ratio grid against the bf16
+        path ON THE CALIBRATION BATCH and keeps the best (selection
+        never sees held-out content; quality gates re-decide per run).
 
         Trunk (quant=True): per-layer per-lane abs-max of every
         quantized conv input replaces the static QSCALE/RES_QSCALE
@@ -521,7 +533,8 @@ class FastOrigRunner:
                         continue  # bf16 conv in a mixed-precision trunk
                     tag = f"{kind}_{i}"
                     qs = 127.0 / np.maximum(
-                        np.asarray(amaxes[tag], np.float32), 1e-6)
+                        np.asarray(amaxes[tag], np.float32) * trunk_clip,
+                        1e-6)
                     qp[tag] = jnp.asarray(qs)
                     qp[w_tag] = fc.quantize_packed_kernel(
                         self._trunk_masters[w_tag], in_scales=qs,
@@ -529,7 +542,42 @@ class FastOrigRunner:
             self.trunk_calibrated = True
         if not self.tail_quant_ready:
             return qp
+        if tail_clip == "auto" and _os.environ.get("VCGU_TAIL_CLIP"):
+            # override hook; tests pin 1.0 (the auto grid costs 5 tail
+            # re-calibrations + applies — minutes in interpret mode)
+            tail_clip = float(_os.environ["VCGU_TAIL_CLIP"])
         amaxes = jax.device_get(jax.jit(self._tail_amax)(qp, x))
+
+        def clipped(clip):
+            out = []
+            for a in amaxes:
+                out.append(np.asarray(a, np.float32) * clip)
+            return out
+
+        if tail_clip == "auto":
+            # pick the clip ratio that best reproduces this runner's own
+            # bf16-tail output on the calibration batch (uncalibrated qp
+            # lacks tail_s0, so apply() runs the bf16 tail)
+            ref = np.asarray(jax.jit(self.apply)(qp, x), np.float32)
+            fn = jax.jit(self.apply)  # one trace: candidates share structure
+            best = (None, np.inf, 1.0)
+            for clip in (1.0, 0.85, 0.7, 0.55, 0.4):
+                cand = self._finish_tail_calibration(dict(qp),
+                                                     clipped(clip), x)
+                mse = float(np.mean(
+                    (np.asarray(fn(cand, x), np.float32) - ref) ** 2))
+                if mse < best[1]:
+                    best = (cand, mse, clip)
+            qp, _, self.tail_clip_selected = best
+        else:
+            qp = self._finish_tail_calibration(dict(qp),
+                                               clipped(float(tail_clip)), x)
+            self.tail_clip_selected = float(tail_clip)
+        self.tail_calibrated = True
+        return qp
+
+    def _finish_tail_calibration(self, qp: Dict[str, Any], amaxes,
+                                 x: jax.Array) -> Dict[str, Any]:
         qp = self._refold_tail(qp, *amaxes)
         # per-channel bias correction: fold the int8 path's systematic
         # (mean) pre-activation error on the calibration batch into the
@@ -557,7 +605,6 @@ class FastOrigRunner:
             qp["final_b_map"] = jax.jit(
                 self._head_zp_bias_map, static_argnums=(1, 2))(
                     qp, x.shape[1], x.shape[2])
-        self.tail_calibrated = True
         return qp
 
     def _head_zp_bias_map(self, qp, th: int, tw: int):
