@@ -561,7 +561,7 @@ class FastOrigRunner:
             ref = np.asarray(jax.jit(self.apply)(qp, x), np.float32)
             fn = jax.jit(self.apply)  # one trace: candidates share structure
             best = (None, np.inf, 1.0)
-            for clip in (1.0, 0.85, 0.7, 0.55, 0.4):
+            for clip in (1.0, 0.85, 0.7, 0.55, 0.4, 0.28, 0.2):
                 cand = self._finish_tail_calibration(dict(qp),
                                                      clipped(clip), x)
                 mse = float(np.mean(
