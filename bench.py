@@ -1,28 +1,39 @@
 """Benchmark: 540p->1080p tiled video upscaling, frames/sec/chip.
 
 Headline metric from BASELINE.md: >=60 frames/sec/chip for 540p->1080p
-(x2) tiled inference with the flagship SRGAN-style generator (16 res
-blocks, 64 filters) on one TPU chip. vs_baseline is value/60 (the
+(x2) tiled inference on one TPU chip. vs_baseline is value/60 (the
 reference publishes no numbers of its own — SURVEY.md §6 — so the
 north-star target is the baseline).
 
 The measured path is the fused-kernel inference runner
 (models/fast_infer.py): Pallas conv+instance-norm trunk + prepacked
-phase tail; the headline is the fastest quantized mode that clears the
-quality gate DERIVED from the ≤0.1 dB end-to-end budget (see
-TURBO_PSNR_GATE below), evaluated on a held-out real frame. bf16
-itself matches the modular model at ~50 dB — docs/PERF.md round 2.
-Tile geometry: one whole-frame tile — the
-overlap sweep at flagship scale (docs/PERF.md) shows whole-frame is the
-quality/throughput operating point; the multi-tile path is exercised by
-tests and scripts/tile_sweep.py.
+phase tail. The headline is the fastest mode that clears the quality
+gate DERIVED from the ≤0.1 dB end-to-end budget (TURBO_PSNR_GATE
+below), evaluated as the MIN PSNR over a set of held-out real frames.
+Eligible headline paths are (a) quantized modes of the flagship
+16-block SRGAN-style generator, gated vs its bf16 output, and (b)
+trained-equivalence DISTILLED students (assets/students/*,
+train/distill.py), gated STUDENT-vs-TEACHER against the 16-block
+teacher's bf16 output under the same budget threshold — the emitted
+JSON records which path won (`tag`, `blocks`). Tile geometry: one
+whole-frame tile (overlap sweep, docs/PERF.md round 2); the multi-tile
+path is exercised by tests and scripts/tile_sweep.py.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Secondary numbers (bf16-path fps, int8-vs-bf16 PSNR, GAN train-step
-time at 256^2 crops) go to stderr.
+Protocol order (VERDICT r4 item 1 — the record must be capturable):
+1. gate EVERY mode's PSNR first (cheap batch-1 graphs);
+2. pay the timing loops ONLY for modes that pass the gate;
+3. print the ONE machine-readable JSON line immediately after the
+   headline section;
+4. run the secondaries (x4 demo geometry, train step) only with
+   wall-clock budget remaining (VCGU_BENCH_BUDGET_S, default 2100 s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Secondary numbers (x4 fps, PSNR tables, GAN train-step time) go to
+stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -59,6 +70,25 @@ R_TRAINED_DB = 30.0
 BUDGET_DB = 0.1
 TURBO_PSNR_GATE = R_TRAINED_DB - 10 * np.log10(10 ** (BUDGET_DB / 10) - 1)
 
+# Wall-clock budget for the WHOLE bench. The driver runs bench.py under
+# a timeout; round 4's official record was lost to rc=124 because the
+# JSON line printed last. The budget degrades gracefully: untimed gate
+# passers and the secondaries are skipped, the JSON line never is.
+BUDGET_S = float(os.environ.get("VCGU_BENCH_BUDGET_S", "2100"))
+_T0 = time.monotonic()
+
+# Held-out quality-gate frames (VERDICT r4 item 6: gate = MIN over a
+# named frame set, not n=1): the reference's ukiyo painting frame plus
+# its two stored 1080p model-output demo frames (different content
+# statistics). Calibration content (input_480x270.png, BtoA-derived)
+# stays disjoint from all of these.
+EVAL_FRAMES = ("eval_ukiyo_1080p.jpg", "eval_frame_b.jpg",
+               "eval_frame_c.jpg")
+
+
+def time_left():
+    return BUDGET_S - (time.monotonic() - _T0)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -84,27 +114,38 @@ def _psnr(a, b):
     return 10 * np.log10(4.0 / max(mse, 1e-12))
 
 
-def _real_frame_540p(name="input_480x270.png"):
-    """Real-content 540x960 frame in [-1,1] from the committed demo
-    artifacts (reference movie frames: the BtoA demo frame for
-    CALIBRATION, the ukiyo frame for held-out quality EVAL), resized to
-    the bench geometry. Falls back to noise only if missing."""
-    import os
+def _demo_frame(name, hw, interp=None):
+    """Real-content frame in [-1,1] from the committed demo artifacts,
+    resized to ``hw``. Falls back to noise only if missing."""
+    from PIL import Image
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "docs", "demo", name)
     try:
-        from PIL import Image
-
-        img = Image.open(path).convert("RGB").resize(
-            (FRAME_HW[1], FRAME_HW[0]),
-            Image.LANCZOS if name.startswith("eval") else Image.BICUBIC)
+        if interp is None:
+            interp = (Image.BICUBIC if name.startswith("input")
+                      else Image.LANCZOS)
+        img = Image.open(path).convert("RGB")
+        if img.size != (hw[1], hw[0]):
+            img = img.resize((hw[1], hw[0]), interp)
         arr = np.asarray(img, np.float32) / 127.5 - 1.0
         return jnp.asarray(arr, jnp.float32)
     except Exception as e:  # pragma: no cover
-        log(f"real frame unavailable ({e}); falling back to noise")
+        log(f"real frame {name} unavailable ({e}); falling back to noise")
         return jnp.asarray(np.random.default_rng(99).uniform(
-            -1, 1, (*FRAME_HW, 3)), jnp.float32)
+            -1, 1, (*hw, 3)), jnp.float32)
+
+
+def _cal_batch(hw):
+    """Calibration batch: the BtoA-derived demo frame. With
+    VCGU_CAL_AUG=1, an augmented multi-frame batch (flip + rolls of the
+    SAME calibration content — held-out eval frames stay held out), the
+    round-5 distribution-shift lead (docs/PERF.md round-5 item 1d)."""
+    cal = np.asarray(_demo_frame("input_480x270.png", hw))
+    if os.environ.get("VCGU_CAL_AUG", "0") != "1":
+        return jnp.asarray(cal[None])
+    return jnp.asarray(np.stack(
+        [cal, cal[:, ::-1], np.roll(cal, 7, axis=1)]))
 
 
 def _bench_params(factor, tile_hw):
@@ -136,9 +177,8 @@ def _add_student_runners(runners, factor, tile_hw):
     16-block teacher's function (train/distill.py). Quality for these
     tags is gated STUDENT-vs-TEACHER — the comparison the round-3 verdict
     prescribed for trained-equivalence trunks — on the same held-out
-    frame and budget-derived threshold as the quant modes."""
+    frames and budget-derived threshold as the quant modes."""
     import glob
-    import os
 
     from flax import serialization
 
@@ -174,95 +214,151 @@ def _add_student_runners(runners, factor, tile_hw):
                 f"{type(e).__name__}: {e}")
 
 
-def bench_tiled_inference():
+def _build_runners(factor, tile_hw, mix_spec):
+    """The mode matrix: quality/speed product points of the flagship
+    (bf16 compliant by construction; hybrid/tail/mixed/full W8A8 — see
+    docs/PERF.md round-3/4 for why each exists) + distilled students."""
     from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
-    from video_cycle_gan_upscaling_tpu.video.tiles import make_tiled_upscaler
 
-    params = _bench_params(FACTOR, TILE_HW)
-
-    # five quality/speed product points: full bf16 (compliant by
-    # construction), bf16 trunk + hybrid W8A8 tail ("i8tail" — the trunk
-    # dominates int8 error, docs/PERF.md round-3 isolation), bf16 trunk
-    # + all-W8A8 tail incl. head ("tail8"), tail8 + a 3-unit int8 trunk
-    # ("mix" — the ×2 sweep found the prefinal conv, unit 16, carries
-    # ~3× the whole ×2 error budget because its output feeds the tail
-    # through the global residual add with no InstanceNorm after it;
-    # excluding it, units 13-15 fit the budget: 46.73 dB PASS at
-    # +1.35 fps, scripts/mix_trunk_sweep.py --factor 2), and full W8A8
-    # ("int8" turbo)
+    params = _bench_params(factor, tile_hw)
     runners = {}
     for tag, quant in (("bf16", False), ("i8tail", "tail"),
-                       ("tail8", "tail8"), ("mix", "mix:13,14,15"),
+                       ("tail8", "tail8"), ("mix", mix_spec),
                        ("trunkonly", "trunk"), ("int8", True)):
-        r = FastOrigRunner(params, res_block_num=16, upscale_factor=FACTOR,
-                           tile_hw=TILE_HW, quant=quant)
+        r = FastOrigRunner(params, res_block_num=16, upscale_factor=factor,
+                           tile_hw=tile_hw, quant=quant)
         runners[tag] = (r, jax.device_put(r.qp))
-    _add_student_runners(runners, FACTOR, TILE_HW)
+    _add_student_runners(runners, factor, tile_hw)
 
-    # calibration frame: REAL imagery (the committed demo artifact derived
-    # from the reference's BtoA_00286 movie frame), not synthetic noise —
-    # VERDICT r2 item 3. Resized to the bench frame geometry.
-    cal_frame = _real_frame_540p()
-
-    def measure(tag, batch):
-        r, qp = runners[tag]
+    cal = _cal_batch(tile_hw)
+    for tag, (r, qp) in runners.items():
         # calibrate once per runner — including TRUNK-only quant modes,
         # whose per-channel weight refold happens even though no tail
         # scales are added (an uncalibrated trained-weights trunk runs
         # static scales into clipping: measured 28 dB garbage)
-        if ((r.tail_quant_ready and not r.tail_calibrated)
-                or (r.quant and not r.trunk_calibrated)):
-            qp = r.calibrate(jax.device_put(qp),
-                             jax.device_put(cal_frame[None]))
-            runners[tag] = (r, qp)
-        up = make_tiled_upscaler(r.apply, FRAME_HW, TILE_HW, OVERLAP, FACTOR,
-                                 apply_fn_u8=r.apply_u8)
-        # fetch a scalar each call: block_until_ready is unreliable on the
-        # tunneled platform, so force execution via a tiny device->host pull
-        batch0 = jax.device_put(jnp.asarray(
-            np.random.default_rng(0).uniform(-1, 1, (batch, *FRAME_HW, 3)),
-            jnp.float32))
-        probe = jax.jit(lambda p, x: _force(up.batch(p, x)))
-        float(probe(qp, batch0))  # compile + warmup
-        t0 = time.perf_counter()
-        for _ in range(N_ROUNDS):
-            float(probe(qp, batch0))
-        dt = (time.perf_counter() - t0) / N_ROUNDS
-        fps = batch / dt
-        log(f"{tag} batch {batch}: {dt * 1e3:.1f} ms/batch = {fps:.2f} fps "
-            f"(per-batch dispatch)")
-        # streaming dispatch: scan CLIP_CHUNKS frame-chunks in ONE call —
-        # the video pipeline's operating mode (uint8 in, codec uint8 out,
-        # clip resident on device; the product path feeds the same graph,
-        # video/infer.py upscale_clip_stream). The ~29 ms per-dispatch RPC
-        # floor of the tunneled platform amortizes over the whole clip.
-        # Clip generated ON-device (a multi-GB host push stalls the tunnel).
-        try:
-            gen_clip = jax.jit(lambda key: jax.random.randint(
-                key, (CLIP_CHUNKS, batch, *FRAME_HW, 3), 0, 256,
-                jnp.int32).astype(jnp.uint8))
-            clip = gen_clip(jax.random.PRNGKey(7))
-            probe_clip = jax.jit(lambda p, c: _force(up.clip_u8(p, c)))
-            float(probe_clip(qp, clip))  # compile + warmup
-            t0 = time.perf_counter()
-            for _ in range(N_ROUNDS):
-                float(probe_clip(qp, clip))
-            dt_clip = (time.perf_counter() - t0) / N_ROUNDS
-            fps_clip = clip.shape[0] * batch / dt_clip
-            log(f"{tag} clip {clip.shape[0]}x{batch}: {dt_clip * 1e3:.1f} ms"
-                f" = {fps_clip:.2f} fps (streaming dispatch)")
-            fps = max(fps, fps_clip)
-        except Exception as e:
-            log(f"{tag} clip dispatch failed ({type(e).__name__}); "
-                f"keeping per-batch number")
-        return fps, up
+        if r.tail_quant_ready or r.quant:
+            runners[tag] = (r, r.calibrate(jax.device_put(qp), cal))
+    return runners
 
+
+def _speed_rank(tag, runners):
+    """Candidate timing order when the budget bites: expected-fastest
+    first — fewer trunk blocks, then more aggressive quantization
+    (int8 trunk units < int8 tail < bf16)."""
+    r = runners[tag][0]
+    qr = 3
+    if r.quant:            # any trunk conv int8
+        qr = 0
+    elif r.head_quant:     # tail8: all-int8 tail on bf16 trunk
+        qr = 1
+    elif r.tail_quant:     # hybrid tail
+        qr = 2
+    return (r.res_block_num, qr)
+
+
+def _gate_all(runners, hw):
+    """Phase 1 — quality gate for every mode BEFORE any timing loop
+    (batch-1 apply graphs only). Returns {tag: min-PSNR over the
+    held-out frame set}; bf16 maps to +inf (compliant by construction).
+    Students gate vs the TEACHER's bf16 output; quant modes vs bf16."""
+    frames = [_demo_frame(n, hw) for n in EVAL_FRAMES]
+    r_b, qp_b = runners["bf16"]
+    ap_b = jax.jit(r_b.apply)
+    outs_b = [ap_b(qp_b, f[None]) for f in frames]
+    psnrs = {"bf16": float("inf")}
+    for tag, (r, qp) in runners.items():
+        if tag == "bf16":
+            continue
+        ap = jax.jit(r.apply)
+        per_frame = []
+        for f, ob in zip(frames, outs_b):
+            oq = ap(qp, f[None])
+            per_frame.append(_psnr(oq, ob))
+        psnrs[tag] = min(per_frame)
+        kind = ("STUDENT-vs-TEACHER" if tag.startswith("stu")
+                else "vs bf16")
+        gate = "PASS" if psnrs[tag] >= TURBO_PSNR_GATE else "MISS"
+        delta = 10 * np.log10(
+            1 + 10 ** ((R_TRAINED_DB - psnrs[tag]) / 10))
+        log(f"{tag} {kind} min-PSNR over {len(frames)} held-out frames: "
+            f"{psnrs[tag]:.2f} dB (per-frame "
+            f"{['%.2f' % p for p in per_frame]}) [{gate} gate "
+            f"{TURBO_PSNR_GATE:.1f} dB; implied end-to-end delta at "
+            f"R={R_TRAINED_DB:.0f} dB: {delta:.3f} dB]")
+    return psnrs
+
+
+def _measure(tag, runners, frame_hw, tile_hw, factor, batch,
+             n_rounds=N_ROUNDS):
+    """Phase 2 — timing loops for one (already calibrated) mode:
+    per-batch dispatch + streaming uint8 clip dispatch (the video
+    pipeline's operating mode; the ~29 ms per-dispatch RPC floor of the
+    tunneled platform amortizes over the clip). Returns best fps."""
+    from video_cycle_gan_upscaling_tpu.video.tiles import make_tiled_upscaler
+
+    r, qp = runners[tag]
+    up = make_tiled_upscaler(r.apply, frame_hw, tile_hw, OVERLAP, factor,
+                             apply_fn_u8=r.apply_u8)
+    # fetch a scalar each call: block_until_ready is unreliable on the
+    # tunneled platform, so force execution via a tiny device->host pull
+    batch0 = jax.device_put(jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (batch, *frame_hw, 3)),
+        jnp.float32))
+    probe = jax.jit(lambda p, x: _force(up.batch(p, x)))
+    float(probe(qp, batch0))  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(n_rounds):
+        float(probe(qp, batch0))
+    dt = (time.perf_counter() - t0) / n_rounds
+    fps = batch / dt
+    log(f"{tag} batch {batch}: {dt * 1e3:.1f} ms/batch = {fps:.2f} fps "
+        f"(per-batch dispatch)")
+    # Clip generated ON-device (a multi-GB host push stalls the tunnel).
+    try:
+        gen_clip = jax.jit(lambda key: jax.random.randint(
+            key, (CLIP_CHUNKS, batch, *frame_hw, 3), 0, 256,
+            jnp.int32).astype(jnp.uint8))
+        clip = gen_clip(jax.random.PRNGKey(7))
+        probe_clip = jax.jit(lambda p, c: _force(up.clip_u8(p, c)))
+        float(probe_clip(qp, clip))  # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(n_rounds):
+            float(probe_clip(qp, clip))
+        dt_clip = (time.perf_counter() - t0) / n_rounds
+        fps_clip = clip.shape[0] * batch / dt_clip
+        log(f"{tag} clip {clip.shape[0]}x{batch}: {dt_clip * 1e3:.1f} ms"
+            f" = {fps_clip:.2f} fps (streaming dispatch)")
+        fps = max(fps, fps_clip)
+    except Exception as e:
+        log(f"{tag} clip dispatch failed ({type(e).__name__}); "
+            f"keeping per-batch number")
+    return fps
+
+
+def bench_tiled_inference():
+    """Headline: gate first, then time ONLY the gate passers (budget
+    allowing). Returns (fps, info-dict for the JSON payload)."""
+    runners = _build_runners(FACTOR, TILE_HW, "mix:13,14,15")
+    psnrs = _gate_all(runners, FRAME_HW)
+    passers = [t for t in runners if psnrs[t] >= TURBO_PSNR_GATE]
+    skipped = [t for t in runners if t not in passers]
+    if skipped:
+        log(f"gate MISS (untimed, lossy turbo secondaries): {skipped}")
+    # expected-fastest first so a budget cut keeps the best candidates;
+    # bf16 (slowest, guaranteed passer) goes last but is forced if
+    # nothing else got timed
+    passers.sort(key=lambda t: _speed_rank(t, runners))
     results = {}
-    for tag in [t for t in runners if t != "bf16"] + ["bf16"]:
+    for i, tag in enumerate(passers):
+        if results and time_left() < 120:
+            log(f"budget: {time_left():.0f}s left — skipping timing of "
+                f"{passers[i:]}")
+            break
         batch = FRAME_BATCH
         while batch >= 2:
             try:
-                results[tag] = measure(tag, batch)
+                results[tag] = _measure(tag, runners, FRAME_HW, TILE_HW,
+                                        FACTOR, batch)
                 break
             except Exception as e:
                 log(f"{tag} batch {batch} failed ({type(e).__name__}); "
@@ -270,110 +366,51 @@ def bench_tiled_inference():
                 batch //= 2
         if tag not in results:
             log(f"{tag}: all batch sizes failed")
-
-    # quality gate on a HELD-OUT real frame (a different reference movie
-    # frame than the calibration content), against the budget-derived
-    # gate. Headline = the fastest mode that clears the gate; quantized
-    # modes that miss it are reported as lossy turbo secondaries.
-    frame = _real_frame_540p("eval_ukiyo_1080p.jpg")
-    headline = "bf16"
-    if "bf16" in results:
-        out_b = jax.jit(results["bf16"][1])(runners["bf16"][1], frame)
-        best = results["bf16"][0]
-        for tag in [t for t in results if t != "bf16"]:
-            out_q = jax.jit(results[tag][1])(runners[tag][1], frame)
-            psnr = _psnr(out_q, out_b)
-            delta = 10 * np.log10(1 + 10 ** ((R_TRAINED_DB - psnr) / 10))
-            gate = "PASS" if psnr >= TURBO_PSNR_GATE else "MISS"
-            kind = ("STUDENT-vs-TEACHER" if tag.startswith("stu")
-                    else "vs bf16")
-            log(f"{tag} {kind} PSNR on real frame: {psnr:.2f} dB "
-                f"[{gate} gate {TURBO_PSNR_GATE:.1f} dB; implied "
-                f"end-to-end delta at R={R_TRAINED_DB:.0f} dB: "
-                f"{delta:.3f} dB]")
-            if psnr >= TURBO_PSNR_GATE and results[tag][0] > best:
-                headline, best = tag, results[tag][0]
-            elif results[tag][0] > best:
-                log(f"{tag} is faster ({results[tag][0]:.2f} fps) but "
-                    f"misses the ≤{BUDGET_DB} dB budget gate — lossy "
-                    f"turbo secondary only")
-    log(f"headline path: {headline}")
-    return results[headline][0]
+    if not results:  # pragma: no cover — last-resort fallback
+        results["bf16"] = _measure("bf16", runners, FRAME_HW, TILE_HW,
+                                   FACTOR, 2, n_rounds=2)
+    headline = max(results, key=results.get)
+    log(f"headline path: {headline} ({results[headline]:.2f} fps, "
+        f"min-PSNR {psnrs[headline]:.2f} dB)")
+    r_h = runners[headline][0]
+    info = {
+        "tag": headline,
+        "blocks": r_h.res_block_num,
+        "trunk_int8_units": len(r_h.trunk_qset),
+        "tail_int8": bool(r_h.tail_quant and r_h.tail_quant_ready),
+        "min_psnr_db": (None if headline == "bf16"
+                        else round(psnrs[headline], 2)),
+        "gate_db": round(float(TURBO_PSNR_GATE), 2),
+        "eval_frames": len(EVAL_FRAMES),
+    }
+    return results[headline], info
 
 
 def bench_x4_inference():
     """Secondary: the reference's own demo geometry — ×4 270p→1080p
     (example_frame_test.ipynb cells 2-10). Same protocol as the headline
-    (real-frame calibration, held-out quality gate, streaming uint8
-    clips); reports the fastest budget-compliant mode. Numbers ledgered
-    in docs/PERF.md (round-3 ×4 section)."""
-    from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
-    from video_cycle_gan_upscaling_tpu.video.tiles import make_tiled_upscaler
-
+    (gate first on the held-out frame set, time only compliant modes,
+    streaming uint8 clips). Numbers ledgered in docs/PERF.md."""
     hw = (270, 480)
-    params = _bench_params(4, hw)
-
-    def _frame(name, interp):
-        from PIL import Image
-        import os
-
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "docs", "demo", name)
-        img = Image.open(path).convert("RGB")
-        if img.size != (hw[1], hw[0]):
-            img = img.resize((hw[1], hw[0]), interp)
-        return jnp.asarray(np.asarray(img, np.float32) / 127.5 - 1.0)
-
-    from PIL import Image
-
-    cal = _frame("input_480x270.png", Image.BICUBIC)
-    ev = _frame("eval_ukiyo_1080p.jpg", Image.LANCZOS)
-
-    # "mix" = tail8 tail + mixed-precision trunk: the LAST-K trunk units
-    # W8A8, the rest bf16. The sweep (scripts/mix_trunk_sweep.py,
-    # docs/PERF.md round-3) showed the EARLY blocks carry the bulk of
-    # the trunk's quantization error (first11 44.8 dB MISS vs last11
-    # 50.6 dB PASS), so last-K rides the fps/quality frontier:
-    # the last13-16 points all cleared it at >=60.4 fps; last14 ships
-    # (60.62 fps / 49.20 dB PASS) for its quality margin — the first
-    # budget-compliant >=60 at the reference's own demo factor.
-    runners = {}
-    for tag, quant in (("bf16", False), ("i8tail", "tail"),
-                       ("tail8", "tail8"), ("mix", "mix:last14"),
-                       ("trunkonly", "trunk"), ("int8", True)):
-        r = FastOrigRunner(params, res_block_num=16, upscale_factor=4,
-                           tile_hw=hw, quant=quant)
-        runners[tag] = (r, jax.device_put(r.qp))
-    _add_student_runners(runners, 4, hw)
-    for tag, (r, qp) in runners.items():
-        if r.tail_quant_ready or r.quant:
-            runners[tag] = (r, r.calibrate(qp, cal[None]))
-
-    outs = {tag: jax.jit(r.apply)(qp, ev[None])
-            for tag, (r, qp) in runners.items()}
-    best_tag, best_fps = "bf16", 0.0
-    for tag, (r, qp) in runners.items():
-        q = _psnr(outs[tag], outs["bf16"]) if tag != "bf16" else float("inf")
-        ok = q >= TURBO_PSNR_GATE
-        up = make_tiled_upscaler(r.apply, hw, hw, 16, 4,
-                                 apply_fn_u8=r.apply_u8)
-        gen = jax.jit(lambda key: jax.random.randint(
-            key, (CLIP_CHUNKS, FRAME_BATCH, *hw, 3), 0, 256,
-            jnp.int32).astype(jnp.uint8))
-        clip = gen(jax.random.PRNGKey(7))
-        probe = jax.jit(lambda p, c: _force(up.clip_u8(p, c)))
-        float(probe(qp, clip))
-        t0 = time.perf_counter()
-        for _ in range(4):
-            float(probe(qp, clip))
-        dt = (time.perf_counter() - t0) / 4
-        fps = CLIP_CHUNKS * FRAME_BATCH / dt
-        qtxt = "" if tag == "bf16" else (
-            f", {q:.2f} dB vs bf16 [{'PASS' if ok else 'MISS'} "
-            f"gate {TURBO_PSNR_GATE:.1f}]")
-        log(f"x4 270p->1080p {tag}: {fps:.2f} fps (clip "
-            f"{CLIP_CHUNKS}x{FRAME_BATCH}{qtxt})")
-        if ok and fps > best_fps:
+    runners = _build_runners(4, hw, "mix:last14")
+    psnrs = _gate_all(runners, hw)
+    passers = [t for t in runners if psnrs[t] >= TURBO_PSNR_GATE]
+    skipped = [t for t in runners if t not in passers]
+    if skipped:
+        log(f"x4 gate MISS (untimed): {skipped}")
+    passers.sort(key=lambda t: _speed_rank(t, runners))
+    best_tag, best_fps = None, 0.0
+    for i, tag in enumerate(passers):
+        if best_tag is not None and time_left() < 120:
+            log(f"x4 budget: skipping timing of {passers[i:]}")
+            break
+        try:
+            fps = _measure(tag, runners, hw, hw, 4, FRAME_BATCH,
+                           n_rounds=4)
+        except Exception as e:
+            log(f"x4 {tag} failed ({type(e).__name__}: {e})")
+            continue
+        if fps > best_fps:
             best_tag, best_fps = tag, fps
     log(f"x4 270p->1080p compliant headline: {best_tag} {best_fps:.2f} fps")
 
@@ -418,24 +455,34 @@ def bench_train_step():
 
 
 def main():
-    log(f"devices: {jax.devices()}")
-    fps = bench_tiled_inference()
+    log(f"devices: {jax.devices()}  (budget {BUDGET_S:.0f}s)")
+    fps, info = bench_tiled_inference()
     log(f"tiled 540p->1080p: {fps:.2f} frames/sec/chip")
-    try:
-        bench_x4_inference()
-    except Exception as e:  # secondary metric must not kill the headline
-        log(f"x4 bench failed: {type(e).__name__}: {e}")
-    try:
-        step_s = bench_train_step()
-        log(f"GAN train step (bs=8, 256^2 crops): {step_s * 1e3:.1f} ms")
-    except Exception as e:  # secondary metric must not kill the headline
-        log(f"train-step bench failed: {e}")
+    # THE machine-readable line — printed before any secondary so the
+    # driver's record survives a timeout (BENCH_r04 was rc=124 with the
+    # JSON still unprinted; VERDICT r4 item 1)
     print(json.dumps({
         "metric": "tiled_upscale_540p_to_1080p",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / TARGET_FPS, 3),
-    }))
+        **info,
+    }), flush=True)
+    if time_left() < 180:
+        log(f"budget: {time_left():.0f}s left — skipping secondaries")
+        return
+    try:
+        bench_x4_inference()
+    except Exception as e:  # secondary metric must not kill the record
+        log(f"x4 bench failed: {type(e).__name__}: {e}")
+    if time_left() < 120:
+        log(f"budget: {time_left():.0f}s left — skipping train-step bench")
+        return
+    try:
+        step_s = bench_train_step()
+        log(f"GAN train step (bs=8, 256^2 crops): {step_s * 1e3:.1f} ms")
+    except Exception as e:
+        log(f"train-step bench failed: {e}")
 
 
 if __name__ == "__main__":
