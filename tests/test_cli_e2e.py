@@ -198,6 +198,120 @@ def test_upscale_turbo_mix_e2e(data_root, tmp_path):
     assert img.size == (64, 48)
 
 
+def _make_student_asset(tmp_path, factor=2, ship_mode="bf16", ship_fps=1.0,
+                        name=None):
+    """Write a tiny self-contained student asset (the committed-asset
+    format of scripts/distill_student.py) for CLI tests."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from video_cycle_gan_upscaling_tpu.models import UpscalerOrig
+
+    model = UpscalerOrig(kernel_size=5, filters=8, upscale_factor=factor,
+                         res_block_num=2, dtype=jnp.float32, phase_tail=True)
+    params = model.init(jax.random.PRNGKey(3),
+                        jnp.zeros((1, 12, 16, 3), jnp.float32))["params"]
+    root = tmp_path / "students"
+    root.mkdir(parents=True, exist_ok=True)
+    stem = root / (name or f"x{factor}_k2")
+    meta = {"factor": factor, "blocks": 2, "filters": 8, "kernel_size": 5,
+            "geometry": [12, 16], "ship_mode": ship_mode,
+            "ship_fps": ship_fps}
+    stem.with_suffix(".json").write_text(json.dumps(meta))
+    stem.with_suffix(".msgpack").write_bytes(
+        serialization.msgpack_serialize(jax.device_get(params)))
+    return str(stem)
+
+
+def test_upscale_student_e2e(tmp_path):
+    """VERDICT r4 item 4: a student asset runs through vcgu-upscale and
+    its output matches the bench path (FastOrigRunner on the same
+    whole-frame tile) exactly at the uint8 codec."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
+
+    stem = _make_student_asset(tmp_path)
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    ind = tmp_path / "in"
+    ind.mkdir()
+    Image.fromarray(arr).save(ind / "f_000.png")
+    outd = tmp_path / "out_student"
+    res = cli_upscale.main(["--student", stem, "-i", str(ind),
+                            "-o", str(outd), "--ext", ".png",
+                            "--max-frames", "1"])
+    assert res["frames"] == 1
+    out_img = np.asarray(Image.open(next(outd.iterdir())).convert("RGB"))
+    assert out_img.shape == (24, 32, 3)
+
+    params = serialization.msgpack_restore(
+        open(stem + ".msgpack", "rb").read())
+    r = FastOrigRunner(params, res_block_num=2, upscale_factor=2,
+                       tile_hw=(12, 16), quant=False, filters=8)
+    x = jnp.asarray(arr, jnp.float32) / 127.5 - 1.0
+    ref = np.asarray(jax.jit(r.apply)(jax.device_put(r.qp), x[None])[0],
+                     np.float32)
+    ref_u8 = np.clip(np.round((ref + 1.0) * 127.5), 0, 255).astype(np.uint8)
+    assert np.max(np.abs(out_img.astype(np.int32)
+                         - ref_u8.astype(np.int32))) <= 1
+
+
+def test_upscale_student_auto(tmp_path, monkeypatch):
+    """--student auto picks the asset with the best recorded ship_fps
+    among those whose metadata records a gate-passing ship_mode."""
+    _make_student_asset(tmp_path, ship_mode=None, ship_fps=99.0,
+                        name="x2_k9")  # no ship_mode -> not eligible
+    stem = _make_student_asset(tmp_path, ship_mode="bf16", ship_fps=5.0)
+    monkeypatch.setenv("VCGU_STUDENT_ROOT", str(tmp_path / "students"))
+    rng = np.random.default_rng(6)
+    ind = tmp_path / "in"
+    ind.mkdir()
+    Image.fromarray(rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+                    ).save(ind / "f_000.png")
+    res = cli_upscale.main(["--student", "auto", "-i", str(ind),
+                            "-o", str(tmp_path / "out_auto"),
+                            "--ext", ".png", "--max-frames", "1"])
+    assert res["frames"] == 1
+    assert os.path.basename(stem) == "x2_k2"
+
+
+def test_upscale_turbo_trunk_e2e(data_root, tmp_path):
+    """--turbo-trunk through the product CLI: the trunk-only quant mode
+    must CALIBRATE on the first source frame (ADVICE r4: the uncalibrated
+    trained-weights trunk runs static scales into clipping) and stay
+    close to the bf16 output."""
+    out = tmp_path / "run"
+    cli_mini.main(_common(data_root, out) + [
+        "-i", "ukiyo-e_fullhd", "-bs", "1", "-oh", "16", "-ow", "16",
+        "-tr", "0.7", "-m", "orig"])
+    lossdir = out / "losses" / "ukiyo" / "mini_orig_mse_x4"
+    ind = tmp_path / "in_png"  # --ext filters BOTH source and sink
+    ind.mkdir()
+    rng = np.random.default_rng(7)
+    Image.fromarray(rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+                    ).save(ind / "f_000.png")
+    common = ["-r", str(lossdir), "-i", str(ind),
+              "--frame-height", "12", "--frame-width", "16",
+              "--tile-height", "12", "--tile-width", "16", "--overlap", "2",
+              "--ext", ".png", "--max-frames", "1"]
+    res = cli_upscale.main(common + ["-o", str(tmp_path / "o_ref")])
+    assert res["frames"] == 1
+    res = cli_upscale.main(common + ["-o", str(tmp_path / "o_trunk"),
+                                     "--turbo-trunk"])
+    assert res["frames"] == 1
+    a = np.asarray(Image.open(next((tmp_path / "o_ref").iterdir()))
+                   .convert("RGB"), np.float32)
+    b = np.asarray(Image.open(next((tmp_path / "o_trunk").iterdir()))
+                   .convert("RGB"), np.float32)
+    mse = float(np.mean((a - b) ** 2))
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert psnr > 30.0, f"turbo-trunk output {psnr:.1f} dB vs bf16"
+
+
 def test_batch_norm_checkpoints_are_train_only(tmp_path):
     # norm='batch' has no running averages, so inference CLIs must refuse
     # such checkpoints (VERDICT.md round-1 item 8).
