@@ -379,7 +379,11 @@ def main():
                              - np.asarray(b, np.float32)) ** 2))
         return 10 * np.log10(4.0 / max(mse, 1e-12))
 
-    gate = 46.33
+    # the bench's budget-derived gate (ADVICE r4: never duplicate the
+    # constant — PASS/MISS rows here must mirror bench.py's decision)
+    from bench import TURBO_PSNR_GATE
+
+    gate = float(TURBO_PSNR_GATE)
     rows = []
     modes = ["bf16", "trunk", "tail", "tail8", "mix:last2", "mix:last4",
              True]

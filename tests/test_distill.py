@@ -90,13 +90,18 @@ def test_distill_step_reduces_loss():
     step = make_distill_step(student, teacher_fwd, hw, batch=2, seed=1)
     pool = jax.random.uniform(jax.random.PRNGKey(5), (3, *hw, 3),
                               minval=-1, maxval=1)
+    # deterministic progress metric: student-vs-teacher PSNR on the
+    # FIXED pool frames (per-step losses ride the augment stream — batch
+    # noise, especially the synth-frame draws, swamps a 16-step delta)
+    ev = make_eval_psnr(student, lambda p, x: teacher.apply({"params": p}, x))
+    before = float(ev(state.params, tp, pool))
     state, m0 = step(state, tp, pool)
-    first = float(m0["loss"])
-    assert np.isfinite(first)
+    assert np.isfinite(float(m0["loss"]))
     for _ in range(15):
         state, m = step(state, tp, pool)
-    assert float(m["loss"]) < first
     assert np.isfinite(float(m["psnr"]))
+    after = float(ev(state.params, tp, pool))
+    assert after > before, (before, after)
 
 
 def test_eval_psnr_perfect_match_is_large():

@@ -92,7 +92,10 @@ def make_augment_batch(frame_hw: Tuple[int, int],
 
     def one(key, pool):
         p = pool.shape[0]
-        ks = jax.random.split(key, 10)
+        # one key per independent draw (ADVICE r4: reusing a key for an
+        # amplitude AND its noise field deterministically correlates
+        # pattern with strength, shrinking augmentation coverage)
+        ks = jax.random.split(key, 13)
         a = pool[jax.random.randint(ks[0], (), 0, p)]
         b = pool[jax.random.randint(ks[1], (), 0, p)]
         alpha = jax.random.uniform(ks[2], (), minval=0.5, maxval=1.0)
@@ -103,14 +106,14 @@ def make_augment_batch(frame_hw: Tuple[int, int],
         x = jnp.where(jax.random.bernoulli(ks[6]), x[:, ::-1], x)
         amp_c = jax.random.uniform(ks[7], (), minval=0.0, maxval=0.25)
         x = x + amp_c * jax.image.resize(
-            jax.random.normal(ks[7], (h // 8, w // 8, 3)), (h, w, 3),
+            jax.random.normal(ks[10], (h // 8, w // 8, 3)), (h, w, 3),
             "linear")
         amp_f = jax.random.uniform(ks[8], (), minval=0.0, maxval=0.04)
-        x = x + amp_f * jax.random.normal(ks[8], (h, w, 3))
+        x = x + amp_f * jax.random.normal(ks[11], (h, w, 3))
         # pure-synthetic frames: off-manifold coverage so the match
         # holds beyond the pool's content statistics
         x = jnp.where(jax.random.bernoulli(ks[9], synth_prob),
-                      _noise_image(ks[9]), x)
+                      _noise_image(ks[12]), x)
         return jnp.clip(x, -1.0, 1.0)
 
     def batch_fn(key, pool, batch: int):
@@ -204,7 +207,7 @@ def fake_quant_kernel(w: jax.Array, s_in: jax.Array) -> jax.Array:
 def trunk_walk(params: dict, x: jax.Array, n_blocks: int, *,
                dtype=jnp.bfloat16, qset: frozenset = frozenset(),
                scales: dict | None = None, collect_streams: bool = False,
-               collect_amax: bool = False):
+               collect_amax: bool = False, remat: bool = False):
     """UpscalerOrig stem+trunk from a standard params tree.
 
     Returns (trunk_out, aux): aux is the per-block residual-stream list
@@ -213,14 +216,19 @@ def trunk_walk(params: dict, x: jax.Array, n_blocks: int, *,
     FastOrigRunner.apply_trunk's), or None. ``qset`` follows
     fast_infer.parse_mix_spec unit numbering (block i = both its convs,
     unit n_blocks = the prefinal conv); quantized convs need ``scales``
-    entries (from ``qat_calibrate``)."""
+    entries (from ``qat_calibrate``). ``remat``: per-block
+    jax.checkpoint — the backward recomputes each block's conv/norm
+    temps from its boundary stream instead of storing them (the
+    boundary streams are kept anyway; VERDICT r4 item 3 — the walker
+    step was HBM-bound at batch 1)."""
     from video_cycle_gan_upscaling_tpu.ops import nn as vops
     from video_cycle_gan_upscaling_tpu.ops.pallas import norms as pnorms
 
-    def conv(tag, z, kern, bias, unit):
+    def conv(tag, z, kern, bias, unit, sc=None):
         if unit in qset:
-            z = fake_quant_act(z, scales[tag])
-            kern = fake_quant_kernel(kern, scales[tag])
+            s = sc if sc is not None else scales[tag]
+            z = fake_quant_act(z, s)
+            kern = fake_quant_kernel(kern, s)
         return vops.same_conv(z.astype(dtype), kern.astype(dtype), bias)
 
     amaxes: dict = {}
@@ -230,6 +238,20 @@ def trunk_walk(params: dict, x: jax.Array, n_blocks: int, *,
             amaxes[tag] = jnp.max(jnp.abs(z.astype(jnp.float32)),
                                   axis=tuple(range(z.ndim - 1)))
 
+    def block_body(h, blk, unit, sc_pre, sc_post):
+        a = conv("", h, blk["conv_pre"]["kernel"],
+                 blk["conv_pre"]["bias"], unit, sc_pre)
+        a = pnorms.instance_norm_act(a, blk["norm_pre"]["scale"],
+                                     blk["norm_pre"]["bias"],
+                                     blk["prelu"]["alpha"], "prelu")
+        b = conv("", a, blk["conv_post"]["kernel"],
+                 blk["conv_post"]["bias"], unit, sc_post)
+        return pnorms.instance_norm_residual(b, blk["norm_post"]["scale"],
+                                             blk["norm_post"]["bias"], h)
+
+    run_block = (jax.checkpoint(block_body, static_argnums=(2,))
+                 if remat else block_body)
+
     x = x.astype(dtype)
     h = vops.same_conv(x, params["initial_conv"]["kernel"].astype(dtype),
                        params["initial_conv"]["bias"])
@@ -238,17 +260,24 @@ def trunk_walk(params: dict, x: jax.Array, n_blocks: int, *,
     streams = []
     for i in range(n_blocks):
         blk = params[f"res_block_{i}"]
-        note(f"pre_{i}", h)
-        a = conv(f"pre_{i}", h, blk["conv_pre"]["kernel"],
-                 blk["conv_pre"]["bias"], i)
-        a = pnorms.instance_norm_act(a, blk["norm_pre"]["scale"],
-                                     blk["norm_pre"]["bias"],
-                                     blk["prelu"]["alpha"], "prelu")
-        note(f"post_{i}", a)
-        b = conv(f"post_{i}", a, blk["conv_post"]["kernel"],
-                 blk["conv_post"]["bias"], i)
-        h = pnorms.instance_norm_residual(b, blk["norm_post"]["scale"],
-                                          blk["norm_post"]["bias"], h)
+        if collect_amax:
+            # amax collection bypasses the remat wrapper (observables
+            # must escape the checkpointed scope)
+            note(f"pre_{i}", h)
+            a = conv(f"pre_{i}", h, blk["conv_pre"]["kernel"],
+                     blk["conv_pre"]["bias"], i)
+            a = pnorms.instance_norm_act(a, blk["norm_pre"]["scale"],
+                                         blk["norm_pre"]["bias"],
+                                         blk["prelu"]["alpha"], "prelu")
+            note(f"post_{i}", a)
+            b = conv(f"post_{i}", a, blk["conv_post"]["kernel"],
+                     blk["conv_post"]["bias"], i)
+            h = pnorms.instance_norm_residual(b, blk["norm_post"]["scale"],
+                                              blk["norm_post"]["bias"], h)
+        else:
+            sc_pre = scales[f"pre_{i}"] if i in qset else None
+            sc_post = scales[f"post_{i}"] if i in qset else None
+            h = run_block(h, blk, i, sc_pre, sc_post)
         if collect_streams:
             streams.append(h)
     note("prefinal", h)
@@ -265,7 +294,8 @@ def trunk_walk(params: dict, x: jax.Array, n_blocks: int, *,
 
 def tail_walk(params: dict, trunk: jax.Array, upscale_factor: int, *,
               dtype=jnp.bfloat16, head_block: int = 4,
-              fq_scales: dict | None = None) -> jax.Array:
+              fq_scales: dict | None = None,
+              remat: bool = False) -> jax.Array:
     """Pixel tail over the standard params tree (transpose convs as the
     subpixel d2s rewrite + the S-blocked head), matching
     UpscalerOrig(phase_tail=False, head_block=...).
@@ -288,32 +318,48 @@ def tail_walk(params: dict, trunk: jax.Array, upscale_factor: int, *,
     from video_cycle_gan_upscaling_tpu.ops import nn as vops
     from video_cycle_gan_upscaling_tpu.ops import subpixel as sp
 
+    def up_stage(y, w, b, s):
+        if s is not None:
+            w = fake_quant_kernel(w, s)
+            y = fake_quant_act(y, s)
+        y = sp.conv_transpose_d2s(y.astype(dtype), w.astype(dtype),
+                                  b, stride=2)
+        return vops.leaky_relu(y, 0.2)
+
+    def head_stage(y, w9, b9, s):
+        if s is not None:
+            y = fake_quant_act(y, s)
+            w9 = fake_quant_kernel(w9, s)
+        w9 = w9.astype(dtype)
+        hb = head_block
+        while hb > 1 and (y.shape[1] % hb or y.shape[2] % hb):
+            hb //= 2
+        if hb > 1:
+            yp = sp.conv_same_phase_blocked(y, w9, b9, 1, hb)
+            yp = jnp.tanh(yp.astype(jnp.float32))
+            return sp.depth_to_space(yp, hb)
+        return jnp.tanh(vops.same_conv(y, w9, b9).astype(jnp.float32))
+
+    if remat:
+        # per-stage checkpoint: the HR tail temps dominate the walker's
+        # HBM footprint (~2 GB fwd+bwd at 540p batch 1 — the reason the
+        # round-4 QAT runs were stuck at batch 1); the backward
+        # recomputes each stage from its (much smaller) boundary input
+        up_stage = jax.checkpoint(up_stage)
+        head_stage = jax.checkpoint(head_stage)
+
     y = trunk
     for i in range(int(math.log2(upscale_factor))):
         up = params[f"upscale_{i}"]["conv_transp"]
-        w = up["kernel"]
+        s = None
         if fq_scales is not None:
             s = fq_scales["tail_in"] if i == 0 else fq_scales[f"up_{i - 1}"]
-            y = fake_quant_act(y, s)
-            w = fake_quant_kernel(w, s)
-        y = sp.conv_transpose_d2s(y.astype(dtype), w.astype(dtype),
-                                  up["bias"], stride=2)
-        y = vops.leaky_relu(y, 0.2)
-    w9 = params["final_conv"]["kernel"]
+        y = up_stage(y, up["kernel"], up["bias"], s)
+    s9 = None
     if fq_scales is not None:
-        s = fq_scales[f"up_{int(math.log2(upscale_factor)) - 1}"]
-        y = fake_quant_act(y, s)
-        w9 = fake_quant_kernel(w9, s)
-    w9 = w9.astype(dtype)
-    b9 = params["final_conv"]["bias"]
-    hb = head_block
-    while hb > 1 and (y.shape[1] % hb or y.shape[2] % hb):
-        hb //= 2
-    if hb > 1:
-        yp = sp.conv_same_phase_blocked(y, w9, b9, 1, hb)
-        yp = jnp.tanh(yp.astype(jnp.float32))
-        return sp.depth_to_space(yp, hb)
-    return jnp.tanh(vops.same_conv(y, w9, b9).astype(jnp.float32))
+        s9 = fq_scales[f"up_{int(math.log2(upscale_factor)) - 1}"]
+    return head_stage(y, params["final_conv"]["kernel"],
+                      params["final_conv"]["bias"], s9)
 
 
 def qat_calibrate_tail(params: dict, x: jax.Array, n_blocks: int,
@@ -378,7 +424,7 @@ def make_walk_distill_step(n_student: int, n_teacher: int,
                            feat_weight: float = 0.1,
                            synth_prob: float = 0.2,
                            dtype=jnp.bfloat16, head_block: int = 4,
-                           seed: int = 0) -> Callable:
+                           seed: int = 0, remat: bool = True) -> Callable:
     """Walker-based distillation/QAT update (one dispatch).
 
     Supervision at three depths, all against the teacher's walker forward
@@ -437,9 +483,11 @@ def make_walk_distill_step(n_student: int, n_teacher: int,
             s_trunk, s_streams = trunk_walk(params, x, n_student,
                                             dtype=dtype, qset=qset,
                                             scales=scales,
-                                            collect_streams=use_hints)
+                                            collect_streams=use_hints,
+                                            remat=remat)
             s_out = tail_walk(params, s_trunk, upscale_factor, dtype=dtype,
-                              head_block=head_block, fq_scales=tail_fq)
+                              head_block=head_block, fq_scales=tail_fq,
+                              remat=remat)
             l_out = jnp.mean((s_out - t_out) ** 2)
             l_feat = rel_mse(s_trunk, t_trunk)
             l_hint = (sum(rel_mse(s, t) for s, t in
