@@ -82,7 +82,10 @@ def test_distill_step_reduces_loss():
     sp = student_params_from_teacher(tp, 2)
     import optax
 
-    state = create_generator_state(student, KEY, x, tx=optax.adam(1e-3))
+    # gentle lr: the teacher-subset init is already close, and a 4-block
+    # random teacher's function is rough — 1e-3 Adam overshoots in the
+    # first few steps (eval PSNR drops before recovering)
+    state = create_generator_state(student, KEY, x, tx=optax.adam(2e-4))
     state = state.replace(params=sp)
 
     teacher_fwd = lambda tp, x: teacher.apply({"params": tp}, x,

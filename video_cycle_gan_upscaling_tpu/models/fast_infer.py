@@ -518,10 +518,25 @@ class FastOrigRunner:
         docstring); a stale/discarded qp safely keeps the bf16 tail.
 
         NOT safe to wrap in jax.jit when quant=True (host-side weight
-        refold); call it plain — internals jit themselves."""
+        refold); call it plain — internals jit themselves.
+
+        Multi-frame ``x`` is processed ONE FRAME AT A TIME: the
+        calibration graphs (amax probes, bias-error probe, the auto-clip
+        applies) at HR geometry exceed HBM beyond batch 1 (measured
+        23.98G for a 3-frame x4 batch, round 5), and per-frame
+        aggregation is exact — elementwise max for amaxes, summed MSE
+        for clip selection, mean for the bias correction — while reusing
+        the batch-1 traces the bench compiles anyway."""
+        xs = [x[i:i + 1] for i in range(x.shape[0])]
         if self.quant:
-            _, amaxes = jax.jit(self._stem_trunk_amax)(qp, x)
-            amaxes = jax.device_get(amaxes)
+            fn_am = jax.jit(self._stem_trunk_amax)
+            amaxes = None
+            for xi in xs:
+                am = jax.device_get(fn_am(qp, xi)[1])
+                amaxes = am if amaxes is None else {
+                    k: np.maximum(np.asarray(amaxes[k], np.float32),
+                                  np.asarray(am[k], np.float32))
+                    for k in am}
             qp = dict(qp)
             for i in range(self.res_block_num):
                 tgt = {"qs_a": f"w_post_{i}",
@@ -546,50 +561,90 @@ class FastOrigRunner:
             # override hook; tests pin 1.0 (the auto grid costs 5 tail
             # re-calibrations + applies — minutes in interpret mode)
             tail_clip = float(_os.environ["VCGU_TAIL_CLIP"])
-        amaxes = jax.device_get(jax.jit(self._tail_amax)(qp, x))
+        fn_tam = jax.jit(self._tail_amax)
+
+        def agg(i, a, b):
+            if i == 2:  # lohi1: row 0 is the signed MIN, row 1 the MAX
+                return np.stack([np.minimum(a[0], b[0]),
+                                 np.maximum(a[1], b[1])])
+            return np.maximum(a, b)
+
+        amaxes = None
+        for xi in xs:
+            am = [np.asarray(a, np.float32)
+                  for a in jax.device_get(fn_tam(qp, xi))]
+            amaxes = am if amaxes is None else [
+                agg(i, a, b) for i, (a, b) in enumerate(zip(amaxes, am))]
 
         def clipped(clip):
-            out = []
-            for a in amaxes:
-                out.append(np.asarray(a, np.float32) * clip)
-            return out
+            return [a * clip for a in amaxes]
 
         if tail_clip == "auto":
             # pick the clip ratio that best reproduces this runner's own
             # bf16-tail output on the calibration batch (uncalibrated qp
             # lacks tail_s0, so apply() runs the bf16 tail)
-            ref = np.asarray(jax.jit(self.apply)(qp, x), np.float32)
             fn = jax.jit(self.apply)  # one trace: candidates share structure
+            refs = [np.asarray(fn(qp, xi), np.float32) for xi in xs]
             best = (None, np.inf, 1.0)
             for clip in (1.0, 0.85, 0.7, 0.55, 0.4, 0.28, 0.2):
                 cand = self._finish_tail_calibration(dict(qp),
-                                                     clipped(clip), x)
-                mse = float(np.mean(
-                    (np.asarray(fn(cand, x), np.float32) - ref) ** 2))
+                                                     clipped(clip), xs)
+                mse = sum(
+                    float(np.mean((np.asarray(fn(cand, xi), np.float32)
+                                   - r) ** 2))
+                    for xi, r in zip(xs, refs))
                 if mse < best[1]:
                     best = (cand, mse, clip)
+            if _os.environ.get("VCGU_TAIL_PC", "1") == "1":
+                # PER-CHANNEL clip candidate (docs/PERF.md round-5
+                # lead 1b): each channel keeps the grid ratio minimizing
+                # its own local quantization MSE on the calibration
+                # batch (outlier channels keep wide scales, clean
+                # channels get a finer grid), competing against the
+                # global-ratio candidates under the same end-to-end
+                # calibration-MSE selection — still calibration-only;
+                # the held-out quality gates re-decide per run.
+                try:
+                    pc = self._select_pc_amaxes(qp, xs, amaxes)
+                    cand = self._finish_tail_calibration(dict(qp), pc, xs)
+                    mse = sum(
+                        float(np.mean((np.asarray(fn(cand, xi), np.float32)
+                                       - r) ** 2))
+                        for xi, r in zip(xs, refs))
+                    if mse < best[1]:
+                        best = (cand, mse, "pc")
+                except Exception as e:  # pragma: no cover — never block
+                    import sys as _sys
+
+                    print(f"per-channel clip candidate failed: "
+                          f"{type(e).__name__}: {e}", file=_sys.stderr)
             qp, _, self.tail_clip_selected = best
         else:
             qp = self._finish_tail_calibration(dict(qp),
-                                               clipped(float(tail_clip)), x)
+                                               clipped(float(tail_clip)), xs)
             self.tail_clip_selected = float(tail_clip)
         self.tail_calibrated = True
         return qp
 
     def _finish_tail_calibration(self, qp: Dict[str, Any], amaxes,
-                                 x: jax.Array) -> Dict[str, Any]:
+                                 xs) -> Dict[str, Any]:
         qp = self._refold_tail(qp, *amaxes)
         # per-channel bias correction: fold the int8 path's systematic
         # (mean) pre-activation error on the calibration batch into the
         # stage biases — corrects quantizer rounding bias at zero
         # runtime cost (default path only; the env-gated fused-up-conv
-        # experiment skips it)
+        # experiment skips it). ``xs``: list of equal-size frame slices;
+        # the correction is the mean over all of them.
         if not (self.up_fused and self.head_quant):
             w_phases = [jnp.asarray(w) for w, _ in
                         self._tail_masters.get("up_phases", [])]
-            err0, err1, err2 = jax.jit(self._tail_bias_err)(
-                qp, x, jnp.asarray(self._tail_masters["up_pair"]),
-                jnp.asarray(self._tail_masters["head"]), *w_phases)
+            fn_err = jax.jit(self._tail_bias_err)
+            errs = [fn_err(qp, xi, jnp.asarray(self._tail_masters["up_pair"]),
+                           jnp.asarray(self._tail_masters["head"]), *w_phases)
+                    for xi in xs]
+            err0, err1, err2 = (sum(np.asarray(e[i], np.float32)
+                                    for e in errs) / len(errs)
+                                for i in range(3))
             if self.times == 2:
                 qp["up0_b_c"] = qp["up0_b_c"] - err0
             if self.up_exact:
@@ -604,7 +659,7 @@ class FastOrigRunner:
             # map — built AFTER the err2 subtraction above
             qp["final_b_map"] = jax.jit(
                 self._head_zp_bias_map, static_argnums=(1, 2))(
-                    qp, x.shape[1], x.shape[2])
+                    qp, xs[0].shape[1], xs[0].shape[2])
         return qp
 
     def _head_zp_bias_map(self, qp, th: int, tw: int):
@@ -783,6 +838,46 @@ class FastOrigRunner:
         if amax_mid is None:
             return amax0, amax1, lohi1
         return amax0, amax1, lohi1, amax_mid
+
+    PC_RATIOS = (1.0, 0.85, 0.7, 0.55, 0.4, 0.28)
+
+    def _s0_clip_errs(self, qp, x, amax0):
+        """Per-channel LOCAL quantization MSE of the s0 stream (trunk
+        output — the stage the margin probe localized the whole trained-
+        weights tail deficit to, docs/PERF.md round 5) for every
+        PC_RATIOS candidate, on one frame: err0[R, C]. Symmetric
+        round-to-nearest — the runtime s0 grain. s1/mid/lohi stay on the
+        global clip: the margin probe measured the output INSENSITIVE to
+        them (x3 inflation moved nothing), so per-channel selection
+        there buys noise, and keeping the probe trunk-only keeps this
+        graph's compile small."""
+        trunk = self.apply_trunk(qp, self.apply_stem(qp, x))
+        n, h, wp_, cp = trunk.shape
+        z = trunk.reshape(n, h, wp_ * self.pack, self.filters
+                          ).astype(jnp.float32)
+        out = []
+        for r in self.PC_RATIOS:
+            s = 127.0 / jnp.maximum(amax0 * r, 1e-6)
+            q = jnp.clip(jnp.round(z * s), -127.0, 127.0) / s
+            out.append(jnp.mean((q - z) ** 2, axis=(0, 1, 2)))
+        return jnp.stack(out)
+
+    def _select_pc_amaxes(self, qp, xs, amaxes):
+        """Per-channel s0 clip selection: each trunk-output channel
+        keeps the PC_RATIOS member minimizing its local quantization MSE
+        summed over the calibration frames. Returns a copy of ``amaxes``
+        with amax0 clipped per channel."""
+        amax0 = amaxes[0]
+        fn = jax.jit(self._s0_clip_errs)
+        tot = None
+        for xi in xs:
+            e = np.asarray(jax.device_get(fn(qp, xi, jnp.asarray(amax0))),
+                           np.float32)
+            tot = e if tot is None else tot + e
+        ratios = np.asarray(self.PC_RATIOS, np.float32)
+        out = list(amaxes)
+        out[0] = amax0 * ratios[np.argmin(tot, axis=0)]
+        return out
 
     def _refold_tail(self, qp: Dict[str, Any], amax0, amax1,
                      lohi1=None, amax_mid=None):
