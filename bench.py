@@ -187,7 +187,7 @@ def _add_student_runners(runners, factor, tile_hw):
     stu_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "assets", "students")
     mode_map = {"bf16": False, "trunk": "trunk", "tail8": "tail8",
-                "i8tail": "tail", "int8": True}
+                "tail8:s1": "tail8:s1", "i8tail": "tail", "int8": True}
     for meta_path in sorted(glob.glob(
             os.path.join(stu_dir, f"x{factor}_k*.json"))):
         try:
@@ -221,10 +221,15 @@ def _build_runners(factor, tile_hw, mix_spec):
     from video_cycle_gan_upscaling_tpu.models.fast_infer import FastOrigRunner
 
     params = _bench_params(factor, tile_hw)
+    modes = [("bf16", False), ("i8tail", "tail"), ("tail8", "tail8"),
+             ("mix", mix_spec), ("trunkonly", "trunk"), ("int8", True)]
+    if factor == 4:
+        # bf16 stage-0 + int8 stage-1/head: on TRAINED weights the whole
+        # tail8 deficit is the s0 quant (round-5 margin probe) and x4's
+        # stage 0 runs at LR — near-tail8 speed at near-trunk quality
+        modes.append(("s1t8", "tail8:s1"))
     runners = {}
-    for tag, quant in (("bf16", False), ("i8tail", "tail"),
-                       ("tail8", "tail8"), ("mix", mix_spec),
-                       ("trunkonly", "trunk"), ("int8", True)):
+    for tag, quant in modes:
         r = FastOrigRunner(params, res_block_num=16, upscale_factor=factor,
                            tile_hw=tile_hw, quant=quant)
         runners[tag] = (r, jax.device_put(r.qp))

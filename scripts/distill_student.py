@@ -387,6 +387,8 @@ def main():
     rows = []
     modes = ["bf16", "trunk", "tail", "tail8", "mix:last2", "mix:last4",
              True]
+    if f == 4:
+        modes.insert(4, "tail8:s1")  # bf16 stage-0 (round-5 s0 finding)
     for quant in modes:
         q = False if quant == "bf16" else quant
         r = FastOrigRunner(s_params, res_block_num=args.blocks,

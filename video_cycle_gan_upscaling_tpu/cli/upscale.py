@@ -95,7 +95,8 @@ def main(argv=None):
                         "gate-passing ship_mode. Self-contained — no "
                         "run dir needed")
     p.add_argument("--student-mode", default=None,
-                   choices=("bf16", "trunk", "tail8", "i8tail", "int8"),
+                   choices=("bf16", "trunk", "tail8", "tail8:s1", "i8tail",
+                            "int8"),
                    help="Quantization mode for --student (default: the "
                         "asset's recorded ship_mode, else bf16)")
     p.add_argument("--factor", type=int, default=None,
@@ -125,6 +126,12 @@ def main(argv=None):
                         "error (docs/PERF.md round 4). Optional SPEC "
                         "names the int8 units ('last8', '3,4'); default "
                         "all (orig generator only)")
+    p.add_argument("--turbo-s1", action="store_true",
+                   help="x4 chains: BF16 stage-0 up conv + W8A8 stage-1 "
+                        "and head ('tail8:s1') — on trained weights the "
+                        "whole tail8 deficit is the trunk-output (s0) "
+                        "int8 representation, and stage 0 runs at LR "
+                        "(orig generator only)")
     p.add_argument("--turbo-mix", default=None, metavar="SPEC",
                    help="all-W8A8 tail + MIXED-precision trunk: SPEC "
                         "names the int8 trunk units, e.g. 'last11', "
@@ -169,7 +176,7 @@ def main(argv=None):
         )
 
         mode_map = {"bf16": False, "trunk": "trunk", "tail8": "tail8",
-                    "i8tail": "tail", "int8": True}
+                    "tail8:s1": "tail8:s1", "i8tail": "tail", "int8": True}
         runner = FastOrigRunner(
             sparams, res_block_num=int(meta["blocks"]),
             upscale_factor=factor, tile_hw=tile_hw,
@@ -213,13 +220,14 @@ def main(argv=None):
 
         apply_fn = lambda prm, x: model.apply({"params": prm}, x)
         if ((args.turbo or args.turbo_tail or args.turbo_tail8
-             or args.turbo_mix or args.turbo_trunk)
+             or args.turbo_mix or args.turbo_trunk or args.turbo_s1)
                 and cfg.model.generator != "orig"):
             raise SystemExit(
                 "--turbo/--turbo-tail/--turbo-tail8/--turbo-mix/"
-                "--turbo-trunk support the 'orig' generator only")
+                "--turbo-trunk/--turbo-s1 support the 'orig' generator only")
         quant_mode = (True if args.turbo else
                       f"mix:{args.turbo_mix}" if args.turbo_mix else
+                      "tail8:s1" if args.turbo_s1 else
                       "tail8" if args.turbo_tail8 else
                       "tail" if args.turbo_tail else
                       ("trunk" if args.turbo_trunk == "all" else

@@ -108,8 +108,16 @@ class FastOrigRunner:
         # — the reverse of the random-init statistics every round-3 mode
         # was tuned on.
         is_trunk = isinstance(quant, str) and quant.startswith("trunk")
+        # "tail8:s1": tail8 minus the s0 quantization — the x4 stage-0
+        # up conv runs BF16 on the unquantized trunk output; the mid
+        # stream, stage-1 and head stay W8A8. Motivated by the round-5
+        # margin probe: on TRAINED weights the ENTIRE tail8 deficit sits
+        # in the s0 (trunk-output) int8 representation (s1/mid/lohi are
+        # insensitive to x3 scale inflation), and stage 0 runs at LR —
+        # the cheapest place in the x4 chain to spend bf16.
+        is_s1 = quant == "tail8:s1"
         assert (quant in (False, True, "tail", "tail8") or is_mix
-                or is_trunk), quant
+                or is_trunk or is_s1), quant
         self.stats_mode = stats_mode  # None -> fused_conv env default
         c = filters or params["initial_conv"]["kernel"].shape[-1]
         self.filters = c
@@ -130,7 +138,8 @@ class FastOrigRunner:
         else:
             self.trunk_qset = frozenset()
         self.quant = bool(self.trunk_qset)  # any trunk conv quantized
-        self.tail_quant = quant in (True, "tail", "tail8") or is_mix
+        self.tail_quant = (quant in (True, "tail", "tail8") or is_mix
+                           or is_s1)
         # "tail" (budget mode) runs a HYBRID tail: int8 up conv + bf16
         # head. Stage isolation (scripts/quant_decomp.py) puts ~65% of
         # the all-int8 tail's MSE in the head's input requant + weight
@@ -139,10 +148,13 @@ class FastOrigRunner:
         # (quant=True) keeps the all-int8 tail: its trunk error
         # dominates anyway and speed is its point; "tail8" keeps it too
         # but on the bf16 trunk.
-        self.head_quant = quant in (True, "tail8") or is_mix
+        self.head_quant = quant in (True, "tail8") or is_mix or is_s1
         self.dtype = dtype
         self.times = int(math.log2(upscale_factor))
         assert 2 ** self.times == upscale_factor
+        # bf16 stage-0 applies only to x4 chains (at x2 the final up
+        # conv IS stage 0, so "tail8:s1" degenerates to plain tail8)
+        self.s1_only = is_s1 and self.times == 2
 
         # --- packing geometry (static, from the tile shape) --------------
         h, w = tile_hw
@@ -645,7 +657,7 @@ class FastOrigRunner:
             err0, err1, err2 = (sum(np.asarray(e[i], np.float32)
                                     for e in errs) / len(errs)
                                 for i in range(3))
-            if self.times == 2:
+            if self.times == 2 and not self.s1_only:
                 qp["up0_b_c"] = qp["up0_b_c"] - err0
             if self.up_exact:
                 qp["upx_b_c"] = qp["upx_b_c"] - err1
@@ -697,7 +709,21 @@ class FastOrigRunner:
         y = trunk.reshape(n, h, wp_ * self.pack, self.filters
                           ).astype(jnp.float32)
         s0, s1 = qp["tail_s0"], qp["tail_s1"]
-        if self.times == 2:
+        if self.times == 2 and self.s1_only:
+            # bf16 stage-0 ("tail8:s1"): both chains share the f32
+            # stage-0 conv; the quantized side only sees the runtime's
+            # bf16 rounding of the mid stream. No up0 bias correction.
+            b0_8 = jnp.tile(qp["up0_b"], 8).astype(jnp.float32)
+            yp = y.reshape(n, h, (wp_ * self.pack) // 2, 2 * self.filters)
+            acc0_f = lax.conv_general_dilated(
+                yp, jnp.asarray(self._tail_masters["up0_pair"]), (1, 1),
+                self.up0_pads, dimension_numbers=sp.CONV_DIMS)
+            z0 = vops.leaky_relu(acc0_f + b0_8, 0.2)
+            y_f = self._up0_to_canonical(z0)
+            y_q = y_f.astype(jnp.bfloat16).astype(jnp.float32)
+            err0 = jnp.zeros_like(b0_8)
+            s_in = qp["tail_sm"]
+        elif self.times == 2:
             b0_8 = jnp.tile(qp["up0_b"], 8).astype(jnp.float32)
             q0 = jnp.clip(jnp.round(y * s0), -127, 127).astype(jnp.int8)
             yp = y.reshape(n, h, (wp_ * self.pack) // 2, 2 * self.filters)
@@ -926,11 +952,14 @@ class FastOrigRunner:
         s_in = s0  # stage-1 (final up conv) input quant scales
         if amax_mid is not None:
             # x4 chain: stage 0 quantizes with the trunk scales; the mid
-            # stream's own per-channel scales feed stage 1
+            # stream's own per-channel scales feed stage 1. In
+            # "tail8:s1" mode stage 0 stays bf16 (up0_w_x) — only the
+            # mid scales are folded.
             sm = 127.0 / np.maximum(np.asarray(amax_mid, np.float32), 1e-6)
-            qp["up0_w_q"], qp["up0_w_ws"] = q_oc(
-                self._tail_masters["up0_pair"], np.tile(s0, 2), 2)
-            qp["up0_b_c"] = jnp.tile(qp["up0_b"], 8).astype(jnp.float32)
+            if not self.s1_only:
+                qp["up0_w_q"], qp["up0_w_ws"] = q_oc(
+                    self._tail_masters["up0_pair"], np.tile(s0, 2), 2)
+                qp["up0_b_c"] = jnp.tile(qp["up0_b"], 8).astype(jnp.float32)
             qp["tail_sm"] = jnp.asarray(sm)
             s_in = sm
         if self.up_exact:
@@ -1208,7 +1237,17 @@ class FastOrigRunner:
         channel-wise quantization costs no extra runtime ops."""
         s0, s1 = qp["tail_s0"], qp["tail_s1"]  # [C], [4*C_up]
         q0_ready = False
-        if self.times == 2:
+        if self.times == 2 and self.s1_only:
+            # "tail8:s1": BF16 stage-0 on the unquantized trunk output
+            # (the s0 int8 representation carries the whole trained-
+            # weights tail deficit — round-5 margin probe); the mid
+            # stream re-enters the int8 chain below via tail_sm, whose
+            # amax was measured on exactly this bf16 stream
+            y = self._up0_to_canonical(self._up_xpack(
+                y.astype(self.dtype), qp["up0_w_x"], qp["up0_b"],
+                pads=self.up0_pads))
+            s0 = qp["tail_sm"]
+        elif self.times == 2:
             # x4 chain stage 0: one fused Pallas pass (per-lane requant +
             # W8A8 pair conv + dequant + bias + LeakyReLU —
             # ops/pallas/pair_conv.py), unfold to the canonical 2x
