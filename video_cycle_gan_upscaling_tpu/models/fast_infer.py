@@ -99,6 +99,12 @@ class FastOrigRunner:
         True on both axes (the HR intermediate crosses HBM as int8 and
         the head runs at the int8 MXU rate, while the trunk — the
         dominant quantization-error source — stays bf16)."""
+        # "+s1" suffix composes bf16-stage-0 with a mixed trunk:
+        # "mix:last14+s1" = int8 trunk units + bf16 stage-0 + int8
+        # stage-1/head (x4). Bare "tail8:s1" is the bf16-trunk variant.
+        s1_suffix = isinstance(quant, str) and quant.endswith("+s1")
+        if s1_suffix:
+            quant = quant[:-3]
         is_mix = isinstance(quant, str) and quant.startswith("mix")
         # "trunk[:SPEC]": W8A8 trunk units + BF16 tail — the inverse of
         # "tail"/"tail8". Motivated by the round-4 trained-weights
@@ -115,7 +121,8 @@ class FastOrigRunner:
         # in the s0 (trunk-output) int8 representation (s1/mid/lohi are
         # insensitive to x3 scale inflation), and stage 0 runs at LR —
         # the cheapest place in the x4 chain to spend bf16.
-        is_s1 = quant == "tail8:s1"
+        is_s1 = (quant == "tail8:s1"
+                 or (s1_suffix and (is_mix or quant == "tail8")))
         assert (quant in (False, True, "tail", "tail8") or is_mix
                 or is_trunk or is_s1), quant
         self.stats_mode = stats_mode  # None -> fused_conv env default
