@@ -424,7 +424,7 @@ def make_walk_distill_step(n_student: int, n_teacher: int,
                            feat_weight: float = 0.1,
                            synth_prob: float = 0.2,
                            dtype=jnp.bfloat16, head_block: int = 4,
-                           seed: int = 0, remat: bool = True) -> Callable:
+                           seed: int = 0, remat: bool = False) -> Callable:
     """Walker-based distillation/QAT update (one dispatch).
 
     Supervision at three depths, all against the teacher's walker forward
