@@ -105,6 +105,38 @@ def main():
                     log(f"x{f} {fam} b{batch} failed "
                         f"({type(e).__name__}: {str(e)[:120]}); halving")
                     batch //= 2
+            if fps is None:
+                # whole-frame graph never compiled (the inc-resnet 540p
+                # remote-compile crash, round-4): fall back to the tiled
+                # product path — 4 tiles of 270x480 with overlap 32
+                # (the <=0.1 dB operating point from the overlap sweep)
+                try:
+                    from video_cycle_gan_upscaling_tpu.video.tiles import (
+                        make_tiled_upscaler,
+                    )
+
+                    batch = 2
+                    x0 = jnp.zeros((1, hw[0] // 2, hw[1] // 2, 3),
+                                   jnp.float32)
+                    params = model.init(jax.random.PRNGKey(0), x0)["params"]
+                    up = make_tiled_upscaler(
+                        lambda p, x: model.apply({"params": p}, x), hw,
+                        (hw[0] // 2, hw[1] // 2), 32, f)
+                    xb = jax.jit(lambda key: jax.random.uniform(
+                        key, (batch, *hw, 3), jnp.float32, -1, 1))(
+                        jax.random.PRNGKey(1))
+                    probe = jax.jit(lambda p, x: _force(up.batch(p, x)))
+                    float(probe(params, xb))
+                    t0 = time.perf_counter()
+                    for _ in range(args.rounds):
+                        float(probe(params, xb))
+                    dt = (time.perf_counter() - t0) / args.rounds
+                    fps = batch / dt
+                    log(f"x{f} {fam:12s} b{batch} TILED 2x2/ov32: "
+                        f"{dt * 1e3 / batch:7.1f} ms/frame = {fps:6.2f} fps")
+                except Exception as e:
+                    log(f"x{f} {fam} tiled fallback failed "
+                        f"({type(e).__name__}: {str(e)[:120]})")
             rows.append((f, fam, batch, fps))
 
     log("\n| factor | family | batch | fps (modular path) |")
