@@ -228,6 +228,7 @@ def _build_runners(factor, tile_hw, mix_spec):
         # tail8 deficit is the s0 quant (round-5 margin probe) and x4's
         # stage 0 runs at LR — near-tail8 speed at near-trunk quality
         modes.append(("s1t8", "tail8:s1"))
+        modes.append(("mixs1", "mix:last14+s1"))
     runners = {}
     for tag, quant in modes:
         r = FastOrigRunner(params, res_block_num=16, upscale_factor=factor,
