@@ -60,7 +60,7 @@ def main():
     evs = {}
     for name in ("eval_ukiyo_1080p.jpg", "eval_frame_b.jpg",
                  "eval_frame_c.jpg"):
-        evs[name.split("_")[1][:6]] = jnp.asarray(unit(
+        evs[name[5:-4]] = jnp.asarray(unit(
             Image.open(os.path.join(DEMO, name)).convert("RGB").resize(
                 (hw[1], hw[0]), Image.LANCZOS)))[None]
 
