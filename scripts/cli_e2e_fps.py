@@ -100,12 +100,35 @@ def run(factor, with_sink):
     return result["fps"]
 
 
+def run_student(with_sink=False):
+    """The round-5 headline through the product surface: --student auto
+    (the fastest committed asset whose metadata records a gate-passing
+    ship_mode) on a 540p image-dir clip."""
+    from video_cycle_gan_upscaling_tpu.cli import upscale
+
+    hw = (540, 960)
+    root = tempfile.mkdtemp(prefix="vcgu_e2e_stu_")
+    frames_dir = os.path.join(root, "frames")
+    make_frames(frames_dir, hw)
+    argv = ["--student", "auto", "-i", frames_dir]
+    if with_sink:
+        argv += ["-o", os.path.join(root, "out")]
+    result = upscale.main(argv)
+    tag = "decode+sink" if with_sink else "decode-only"
+    log(f"x2 540p->1080p CLI --student auto [{tag}]: "
+        f"{result['fps']:.2f} fps end-to-end ({result['frames']} frames)")
+    return result["fps"]
+
+
 def main():
     log(f"devices: {jax.devices()}")
     out = {}
-    for factor in (2, 4):
-        out[f"x{factor}_nosink"] = run(factor, with_sink=False)
-        out[f"x{factor}_sink"] = run(factor, with_sink=True)
+    if os.environ.get("VCGU_E2E_STUDENT", "1") == "1":
+        out["x2_student_nosink"] = run_student(False)
+    if os.environ.get("VCGU_E2E_TURBO", "1") == "1":
+        for factor in (2, 4):
+            out[f"x{factor}_nosink"] = run(factor, with_sink=False)
+            out[f"x{factor}_sink"] = run(factor, with_sink=True)
     log(json.dumps(out))
 
 
