@@ -214,7 +214,9 @@ def test_fast_orig_runner_apply_u8_matches_apply(quant):
 
 
 @pytest.mark.parametrize("factor", [2, 4])
-@pytest.mark.parametrize("quant", [True, "tail", "tail8", "tail8:s1"])
+@pytest.mark.parametrize("quant",
+                         [True, "tail", "tail8", "tail8:s1",
+                          "mix:last1+s1"])
 def test_fast_orig_runner_int8_tail(quant, factor):
     """Calibrated W8A8 tail (full-int8, hybrid-tail, all-int8-tail, and
     bf16-stage-0 'tail8:s1' modes, x2 and the chained x4 x-pack): still
@@ -235,16 +237,17 @@ def test_fast_orig_runner_int8_tail(quant, factor):
                                 quant=quant, dtype=jnp.float32)
         assert runner.xpack_ready
         assert runner.tail_quant_ready
-        assert runner.quant == (quant is True)
+        assert runner.quant == (quant is True
+                                or str(quant).startswith("mix"))
         qp = runner.calibrate(runner.qp, x)
         assert runner.tail_calibrated
-        if quant == "tail8:s1":
+        if str(quant).endswith(":s1") or str(quant).endswith("+s1"):
             # x4: bf16 stage-0 (no up0 int8 kernel, no s0 consumer);
-            # x2: degenerates to plain tail8
+            # x2: degenerates to the underlying tail8/mix mode
             assert runner.s1_only == (factor == 4)
             if factor == 4:
                 assert "up0_w_q" not in qp and "tail_sm" in qp
-        if quant in (True, "tail8", "tail8:s1"):
+        if quant in (True, "tail8", "tail8:s1", "mix:last1+s1"):
             # asymmetric head-input quantizer active by default
             assert runner.head_zp
             assert "tail_zp1" in qp and "final_b_map" in qp
@@ -257,8 +260,8 @@ def test_fast_orig_runner_int8_tail(quant, factor):
                          - np.asarray(ref, np.float32)) ** 2))
     psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
     assert psnr > (40.0 if quant == "tail" else
-                   35.0 if quant in ("tail8", "tail8:s1") else 30.0), (
-        quant, psnr)
+                   35.0 if quant in ("tail8", "tail8:s1", "mix:last1+s1")
+                   else 30.0), (quant, psnr)
 
 
 def test_head_zp_bias_map_interior_and_corner_oracle():
