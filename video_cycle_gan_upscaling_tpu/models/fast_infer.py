@@ -614,7 +614,8 @@ class FastOrigRunner:
                     for xi, r in zip(xs, refs))
                 if mse < best[1]:
                     best = (cand, mse, clip)
-            if _os.environ.get("VCGU_TAIL_PC", "1") == "1":
+            if (_os.environ.get("VCGU_TAIL_PC", "1") == "1"
+                    and not self.s1_only):  # s1 modes never consume s0
                 # PER-CHANNEL clip candidate (docs/PERF.md round-5
                 # lead 1b): each channel keeps the grid ratio minimizing
                 # its own local quantization MSE on the calibration
