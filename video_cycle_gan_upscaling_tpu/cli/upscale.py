@@ -137,7 +137,9 @@ def main(argv=None):
                         "names the int8 trunk units, e.g. 'last11', "
                         "'first8', or '3,4,16' (res blocks 0-15, 16 = "
                         "prefinal conv; orig generator only — "
-                        "fast_infer.parse_mix_spec)")
+                        "fast_infer.parse_mix_spec). Append '+s1' for "
+                        "the bf16 stage-0 variant (x4 chains), e.g. "
+                        "'last14+s1' — the x4 bench headline mode")
     p.add_argument("--dp", type=int, default=None, metavar="N",
                    help="Data-parallel inference over the first N devices "
                         "(frames batch-sharded over a 1-D mesh, params "
